@@ -1,0 +1,250 @@
+"""Configuration dataclasses.
+
+The reference keeps configuration as module-level ALL_CAPS constants
+(reference: GAN_train.py:29-35, GAN_test.py:23-35, train_autoencoder.py:60-61).
+Here every subsystem takes an explicit, immutable dataclass; the defaults below are the
+reference's canonical values so a default-constructed config reproduces its experiments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Shared defaults (reference: GAN_train.py:29-35)
+# ---------------------------------------------------------------------------
+
+IMG_SIZE: Tuple[int, int] = (256, 256)
+BASE_LATENT_DIM: int = 512
+BATCH_SIZE: int = 16
+EPOCHS: int = 20
+LEARNING_RATE: float = 1e-4
+BPP_RANGE: Tuple[float, ...] = (0.1, 1.0, 2.0)
+SEED: int = 42  # reference: GAN_train.py:25-26
+
+
+@dataclasses.dataclass(frozen=True)
+class SaliencyConfig:
+    """On-device saliency engine (reference: GAN_functions.py:52-208).
+
+    The reference calls OpenCV's C++ static saliency per image on the host CPU;
+    here the whole pipeline is batched jnp running under jit on TPU.
+    """
+
+    method: str = "combined"  # 'spectral_residual' | 'fine_grained' | 'combined'
+    # combined = 0.6*spectral + 0.4*fine_grained (reference: GAN_functions.py:94)
+    combined_spectral_weight: float = 0.6
+    combined_fine_weight: float = 0.4
+    # Spectral residual operates at a fixed small resolution (canonical Hou & Zhang
+    # 2007 / OpenCV both use 64x64).
+    spectral_resolution: int = 64
+    spectral_blur_sigma: float = 3.0
+    # Fine-grained center-surround box half-widths (integral-image scales).
+    fine_grained_scales: Tuple[int, ...] = (1, 2, 3, 4, 5, 6)
+    # Mask creation (reference: GAN_functions.py:159-208)
+    mask_smooth: bool = True
+    mask_bilateral_d: int = 9
+    mask_bilateral_sigma_color: float = 75.0
+    mask_bilateral_sigma_space: float = 75.0
+    mask_gaussian_ksize: int = 31  # sigma derived per OpenCV rule => 5.0
+    # Adaptive threshold clamps (reference: GAN_functions.py:189-194)
+    mask_threshold_min: float = 0.05
+    mask_threshold_max: float = 0.5
+    mask_percentile: float = 0.7
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizerConfig:
+    """Saliency-adaptive latent quantization (reference: GAN_functions.py:429-446).
+
+    grad_mode:
+      'reference' -- round() contributes zero gradient w.r.t. the latent (the exact
+        semantics of tf.round in the reference; the latent path is dead but the
+        scale path -- through the latent-saliency score -- still carries gradient).
+      'ste'       -- straight-through estimator: forward numerics identical, backward
+        treats round as identity w.r.t. the latent. This fixes the reference's
+        zero-gradient bottleneck defect.
+    """
+
+    grad_mode: str = "ste"  # 'reference' | 'ste'
+    scale_coeff: float = 3.0  # scale = exp(3 * quant_strength * (1 - saliency))
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Adaptive GAN codec shapes (reference: GAN_functions.py:236-722)."""
+
+    img_size: Tuple[int, int] = IMG_SIZE
+    channels: int = 3
+    base_latent_dim: int = BASE_LATENT_DIM  # LQ latent; HQ = 2x
+    # Encoder conv channel progression (reference: GAN_functions.py:300-322)
+    encoder_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    # Generator deconv channel progression (reference: GAN_functions.py:253-268)
+    generator_channels: Tuple[int, ...] = (256, 128, 64, 32)
+    generator_base_hw: int = 16  # dense -> 16x16x512 (reference: GAN_functions.py:247)
+    generator_base_ch: int = 512
+    leaky_slope: float = 0.2
+    # Self-attention at 32x32x256 in the HQ encoder only (reference: GAN_functions.py:315-318)
+    hq_attention: bool = True
+    attention_use_pallas: bool = True
+    # Discriminator (reference: GAN_functions.py:448-493)
+    disc_base_filters: int = 16
+    disc_max_filters: int = 128
+    disc_max_stages: int = 4
+    disc_dense_units: int = 128
+    # RD parameter schedule (reference: GAN_functions.py:631-649)
+    bpp_norm_divisor: float = 5.0
+    overall_compression_slope: float = 0.8
+    hq_lq_threshold_base: float = 0.9
+    hq_lq_threshold_slope: float = 0.85
+    quant_strength_base: float = 0.9
+    quant_strength_slope: float = 0.8
+    saliency_gamma: float = 0.7  # enhanced = mask**0.7 (reference: GAN_functions.py:651)
+    threshold_sharpness: float = 20.0  # sigmoid slope (reference: GAN_functions.py:656)
+    # 'sigmoid' is the training-path blend; 'hard' reproduces the rebuilt eval graph's
+    # binary threshold (reference: GAN_test.py:193-195).
+    threshold_mode: str = "sigmoid"  # 'sigmoid' | 'hard'
+    quantizer: QuantizerConfig = QuantizerConfig()
+    dtype: str = "float32"  # compute dtype; 'bfloat16' for fast inference
+    param_dtype: str = "float32"
+
+    @property
+    def img_shape(self) -> Tuple[int, int, int]:
+        return (self.img_size[0], self.img_size[1], self.channels)
+
+    @property
+    def hq_latent_dim(self) -> int:
+        return self.base_latent_dim * 2
+
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoencoderConfig:
+    """Baseline skip-connection autoencoder (reference: train_autoencoder.py:9-40)."""
+
+    img_size: Tuple[int, int] = (128, 128)
+    channels: int = 3
+    enc_channels: Tuple[int, int] = (32, 64)
+    epochs: int = 50
+    batch_size: int = 16
+    validation_split: float = 0.1
+    learning_rate: float = 1e-3  # keras Adam default
+    dtype: str = "float32"
+
+    @property
+    def img_shape(self) -> Tuple[int, int, int]:
+        return (self.img_size[0], self.img_size[1], self.channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Generator multi-loss weights (reference: GAN_train.py:351-365)."""
+
+    recon_weight: float = 0.35
+    l1_weight: float = 0.15
+    perceptual_weight: float = 0.15
+    adv_weight: float = 0.15
+    bitrate_weight: float = 0.20
+    g_loss_floor: float = 0.5  # floor-offset hack (reference: GAN_train.py:360-361)
+    g_loss_floor_coeff: float = 0.5
+    ls_loss_weight: float = 0.1  # (reference: GAN_train.py:364)
+    rd_loss_weight: float = 0.3  # (reference: GAN_train.py:365)
+    rd_bitrate_weight: float = 0.7
+    # perceptual internals (reference: GAN_train.py:256-287)
+    perceptual_layer_weights: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.3, 0.3)
+    perceptual_scale: float = 0.5
+    # label smoothing (reference: GAN_train.py:212-213)
+    d_real_label: float = 0.9
+    d_fake_label: float = 0.1
+    # rd target mapping (reference: GAN_train.py:313-314)
+    rd_target_bpp_divisor: float = 4.0
+    rd_target_clip: Tuple[float, float] = (0.1, 0.9)
+    # The reference's TF code broadcasts (B,1) against (B,) producing (B,B) loss
+    # matrices in the latent-saliency and bitrate terms (GAN_train.py:307-308,333-335).
+    # False = per-sample (correct) semantics; True = bug-compatible mode.
+    reference_broadcast_quirk: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """GAN training harness (reference: GAN_train.py:24-47,129-622)."""
+
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    saliency: SaliencyConfig = SaliencyConfig()
+    batch_size: int = BATCH_SIZE
+    epochs: int = EPOCHS
+    learning_rate: float = LEARNING_RATE
+    ls_lr_scale: float = 0.5  # latent-saliency optimizer LR (reference: GAN_train.py:159)
+    rd_lr_scale: float = 0.5  # rd optimizer LR (reference: GAN_train.py:160)
+    clipnorm: float = 1.0  # per-variable norm clip, keras semantics (GAN_train.py:157-160)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-7  # keras default
+    bpp_range: Tuple[float, ...] = BPP_RANGE
+    d_every_n_steps: int = 2  # D trained every other step (reference: GAN_train.py:426-428)
+    fine_tune_epochs: int = 3  # per fixed bpp (reference: GAN_train.py:690)
+    seed: int = SEED
+    use_perceptual: bool = True  # falls back to off if no VGG weights, like
+    # reference: GAN_train.py:187-195
+    vgg_weights_path: str = ""  # optional .npz with VGG19 conv weights
+    checkpoint_every: int = 5  # epochs (reference: GAN_train.py:548)
+    results_dir: str = "results"
+    model_dir: str = "models_ckpt"
+    sample_visualizations: int = 4  # per-epoch sample grids (reference: GAN_train.py:401-408)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for distributed training (new design; absent in the reference,
+    which is single-device -- SURVEY.md section 2.5)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # model-parallel degree; data-parallel fills the rest of the devices.
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation harness (reference: GAN_test.py:23-35)."""
+
+    model: ModelConfig = ModelConfig()
+    saliency: SaliencyConfig = SaliencyConfig()
+    bpp_values: Tuple[float, ...] = BPP_RANGE
+    rate_control_bpps: int = 10  # linspace(0.1, 2.0, 10) (reference: GAN_test.py:534)
+    rate_control_bpp_range: Tuple[float, float] = (0.1, 2.0)
+    rate_control_max_images: int = 4  # (reference: GAN_test.py:550)
+    results_dir: str = "test_results"
+    model_dir: str = "models_ckpt"
+    test_dir: str = "test_dataset"
+    batch_size: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class DCTCodecConfig:
+    """JPEG-style 8x8 DCT baseline codec (new; the reference's only DCT/JPEG use is
+    cv2.imwrite in test_autoencoder.py:93)."""
+
+    quality: int = 75
+    block: int = 8
+    use_pallas: bool = True
+
+
+def analytic_bpp(hq_ratio, base_latent_dim: int = BASE_LATENT_DIM,
+                 img_size: Tuple[int, int] = IMG_SIZE):
+    """The reference's analytic bits-per-pixel model.
+
+    bpp = (hq_ratio * (2*D) * 32 + (1 - hq_ratio) * D * 32) / (H*W)
+    (reference: GAN_test.py:314-325, GAN_train.py:325-330; 32 bits per float latent.)
+    Attainable range for D=512, 256x256: [0.25, 0.50] bpp.
+    """
+    hq_bits = hq_ratio * (base_latent_dim * 2) * 32.0
+    lq_bits = (1.0 - hq_ratio) * base_latent_dim * 32.0
+    return (hq_bits + lq_bits) / float(img_size[0] * img_size[1])

@@ -1,0 +1,140 @@
+"""Saliency-mask creation: Otsu + percentile adaptive thresholding and the smooth
+(bilateral + Gaussian) mask used for training.
+
+Reference behavior being reproduced (GAN_functions.py:159-208):
+  - adaptive threshold = min(Otsu(saliency*255), 70th-percentile-cumsum bin of a
+    50-bin histogram), clamped to [0.05, 0.5]
+  - smooth=True (the path actually used for training masks) ignores the threshold
+    and returns bilateral(9,75,75) -> GaussianBlur(31x31, sigma=0 -> 5.0) ->
+    max-normalize of the saliency map
+  - smooth=False returns the binary mask (saliency > threshold)
+
+Everything is batched jnp over leading axes; Otsu is a 256-bin histogram +
+inter-class-variance argmax, jit-friendly (static shapes, no data-dependent control
+flow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from contextual_image_compression_tpu.config import SaliencyConfig
+from contextual_image_compression_tpu.ops import image_ops as iops
+
+
+def _histogram_fixed_bins(x: jnp.ndarray, nbins: int, lo: float, hi: float) -> jnp.ndarray:
+    """Per-image histogram over the last two axes. x: (..., H, W) -> (..., nbins).
+
+    Sort + searchsorted formulation: O(N log N) compute but O(N) memory (a one-hot
+    scatter would materialize an (H, W, nbins) intermediate per image).
+    """
+    scaled = (x - lo) / (hi - lo) * nbins
+    idx = jnp.clip(scaled.astype(jnp.int32), 0, nbins - 1)
+    lead = idx.shape[:-2]
+    flat = idx.reshape((-1, idx.shape[-2] * idx.shape[-1]))
+    flat = jnp.sort(flat, axis=-1)
+    queries = jnp.arange(nbins, dtype=jnp.int32)
+
+    def per_image(sorted_idx):
+        right = jnp.searchsorted(sorted_idx, queries, side="right")
+        left = jnp.searchsorted(sorted_idx, queries, side="left")
+        return (right - left).astype(jnp.float32)
+
+    hist = jax.vmap(per_image)(flat)
+    return hist.reshape(lead + (nbins,))
+
+
+def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
+    """Otsu's threshold of a [0,1] map, following cv2.threshold(..., THRESH_OTSU)
+    on the uint8-quantized map (reference: GAN_functions.py:174-182). Returns the
+    threshold normalized back to [0, 1]; batched over leading axes.
+    """
+    # cv2 quantizes to uint8 first; emulate (saliency*255).astype(uint8).
+    u8 = jnp.clip(x * 255.0, 0, 255).astype(jnp.uint8).astype(jnp.float32)
+    hist = _histogram_fixed_bins(u8 / 255.0, 256, 0.0, 1.0 + 1e-7)  # (..., 256)
+
+    levels = jnp.arange(256, dtype=jnp.float32)
+    total = jnp.sum(hist, axis=-1, keepdims=True)
+    p = hist / jnp.maximum(total, 1.0)
+
+    omega0 = jnp.cumsum(p, axis=-1)  # P(class0) for split at t (inclusive)
+    mu_t = jnp.cumsum(p * levels, axis=-1)
+    mu_total = mu_t[..., -1:]
+
+    omega1 = 1.0 - omega0
+    mu0 = mu_t / jnp.maximum(omega0, 1e-12)
+    mu1 = (mu_total - mu_t) / jnp.maximum(omega1, 1e-12)
+
+    sigma_b = omega0 * omega1 * (mu0 - mu1) ** 2
+    # Invalid splits (empty class) get -inf so argmax picks a valid split, matching
+    # cv2's guard (q1 in (0,1)).
+    valid = (omega0 > 1e-12) & (omega1 > 1e-12)
+    sigma_b = jnp.where(valid, sigma_b, -jnp.inf)
+    t = jnp.argmax(sigma_b, axis=-1).astype(jnp.float32)
+    return t / 255.0
+
+
+def percentile_threshold(x: jnp.ndarray, percentile: float = 0.7, nbins: int = 50) -> jnp.ndarray:
+    """The reference's distribution threshold: first 50-bin histogram bin (left edge)
+    where the normalized cumulative sum exceeds `percentile`
+    (reference: GAN_functions.py:185-190). Batched.
+    """
+    hist = _histogram_fixed_bins(x, nbins, 0.0, 1.0)
+    cumsum = jnp.cumsum(hist, axis=-1)
+    cumsum = cumsum / jnp.maximum(cumsum[..., -1:], 1.0)
+    exceeded = cumsum > percentile
+    # np.argmax over booleans: first True (0 if none -- same as numpy).
+    first = jnp.argmax(exceeded, axis=-1).astype(jnp.float32)
+    return first / nbins  # left bin edge, matching bins[argmax]
+
+
+def adaptive_threshold(x: jnp.ndarray, config: SaliencyConfig | None = None) -> jnp.ndarray:
+    """min(Otsu, percentile) clamped to [0.05, 0.5] (reference: GAN_functions.py:193-194)."""
+    cfg = config or SaliencyConfig()
+    t = jnp.minimum(otsu_threshold(x), percentile_threshold(x, cfg.mask_percentile))
+    return jnp.clip(t, cfg.mask_threshold_min, cfg.mask_threshold_max)
+
+
+def create_saliency_mask(
+    saliency_map: jnp.ndarray,
+    threshold: jnp.ndarray | float | None = None,
+    smooth: bool = True,
+    config: SaliencyConfig | None = None,
+) -> jnp.ndarray:
+    """Equivalent of the reference's create_saliency_mask (GAN_functions.py:159-208).
+
+    smooth=True (default, the training path): continuous mask =
+      max-normalize(GaussianBlur31(bilateral(saliency, 9, 75, 75))); the adaptive
+      threshold is NOT consulted, faithfully reproducing the reference.
+    smooth=False: binary mask (saliency > threshold), threshold adaptive when None.
+    """
+    cfg = config or SaliencyConfig()
+    if smooth:
+        mask = iops.bilateral_filter(
+            saliency_map,
+            d=cfg.mask_bilateral_d,
+            sigma_color=cfg.mask_bilateral_sigma_color,
+            sigma_space=cfg.mask_bilateral_sigma_space,
+        )
+        mask = iops.gaussian_blur(mask, cfg.mask_gaussian_ksize, 0.0)
+        return iops.normalize_max(mask)
+    if threshold is None:
+        threshold = adaptive_threshold(saliency_map, cfg)[..., None, None]
+    return (saliency_map > threshold).astype(jnp.float32)
+
+
+def enhance_saliency_map(saliency_map: jnp.ndarray) -> jnp.ndarray:
+    """Multi-scale saliency enhancement. Dead code in the reference
+    (GAN_functions.py:123-157, never called) -- provided for capability parity:
+    bilateral(9,75,75) -> weighted 3/9/15 Gaussian pyramid (0.5/0.3/0.2) ->
+    gamma 0.8 -> clip [0,1].
+    """
+    filtered = iops.bilateral_filter(saliency_map, 9, 75.0, 75.0)
+    scales = (3, 9, 15)
+    weights = (0.5, 0.3, 0.2)
+    enhanced = jnp.zeros_like(saliency_map)
+    for w, k in zip(weights, scales):
+        enhanced = enhanced + w * iops.gaussian_blur(filtered, k, 0.0)
+    enhanced = jnp.power(jnp.maximum(enhanced, 0.0), 0.8)
+    return jnp.clip(enhanced, 0.0, 1.0)
