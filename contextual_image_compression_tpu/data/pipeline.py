@@ -1,0 +1,123 @@
+"""Input pipeline: on-device saliency-mask precompute + epoch batching.
+
+The reference precomputes a saliency mask per training image in a serial host-CPU
+loop (reference: GAN_train.py:78-93) and builds a tf.data generator pipeline that
+yields ((image, mask, bpp), image) batches with a random target bpp drawn from
+BPP_RANGE per sample (reference: GAN_train.py:95-126). Here:
+
+  * mask precompute is one jitted batched device pipeline (ops.saliency + ops.masks)
+    -- thousands of images per second instead of the reference's per-image loop;
+  * batching is a plain numpy epoch iterator with per-sample shuffling (the
+    reference shuffles AFTER batching, i.e. it only shuffles batch order --
+    SURVEY.md section 2.3; we shuffle samples, the strictly better semantics)
+    and per-sample random bpp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextual_image_compression_tpu.config import SaliencyConfig
+from contextual_image_compression_tpu.ops import masks as mask_ops
+from contextual_image_compression_tpu.ops import saliency as saliency_ops
+from contextual_image_compression_tpu.train.gan_trainer import Batch
+
+
+def make_mask_fn(config: SaliencyConfig | None = None):
+    """Jitted (B,H,W,3)->(B,H,W,1) saliency-mask pipeline."""
+    cfg = config or SaliencyConfig()
+
+    @jax.jit
+    def fn(images: jnp.ndarray) -> jnp.ndarray:
+        sal = saliency_ops.compute_saliency_map(images, cfg.method, cfg)
+        m = mask_ops.create_saliency_mask(sal, smooth=cfg.mask_smooth, config=cfg)
+        return m[..., None]
+
+    return fn
+
+
+def prepare_masks(
+    images: np.ndarray,
+    config: SaliencyConfig | None = None,
+    device_batch: int = 64,
+) -> np.ndarray:
+    """Compute masks for all images, batched on device
+    (replaces reference: GAN_train.py:78-93)."""
+    fn = make_mask_fn(config)
+    outs = []
+    for i in range(0, len(images), device_batch):
+        outs.append(np.asarray(fn(jnp.asarray(images[i : i + device_batch]))))
+    return (
+        np.concatenate(outs, axis=0)
+        if outs
+        else np.zeros(images.shape[:3] + (1,), np.float32)
+    )
+
+
+@dataclasses.dataclass
+class CompressionDataset:
+    """Epoch iterator over (image, mask, bpp) batches.
+
+    target_bpp=None draws a random bpp per sample from `bpp_range`
+    (reference: GAN_train.py:104-112); a float fixes it (fine-tune mode,
+    reference: GAN_train.py:684-691).
+    """
+
+    images: np.ndarray  # (N, H, W, 3) in [-1, 1]
+    masks: np.ndarray   # (N, H, W, 1) in [0, 1]
+    batch_size: int = 16
+    bpp_range: Sequence[float] = (0.1, 1.0, 2.0)
+    target_bpp: Optional[float] = None
+    seed: int = 42
+    drop_remainder: bool = True
+
+    def __post_init__(self):
+        assert len(self.images) == len(self.masks)
+        self._rng = np.random.RandomState(self.seed)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return max(1, len(self.images) // self.batch_size)
+
+    def epoch(self, shuffle: bool = True) -> Iterator[Batch]:
+        n = len(self.images)
+        idx = np.arange(n)
+        if shuffle:
+            self._rng.shuffle(idx)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
+        limit = max(limit, min(n, self.batch_size))
+        for start in range(0, limit, self.batch_size):
+            sel = idx[start : start + self.batch_size]
+            if self.target_bpp is None:
+                bpp = self._rng.choice(self.bpp_range, size=(len(sel), 1)).astype(
+                    np.float32
+                )
+            else:
+                bpp = np.full((len(sel), 1), self.target_bpp, np.float32)
+            yield Batch(
+                image=jnp.asarray(self.images[sel]),
+                mask=jnp.asarray(self.masks[sel]),
+                bpp=jnp.asarray(bpp),
+            )
+
+    def first_samples(self, k: int = 4) -> Batch:
+        """Deterministic sample batch for per-epoch visualization
+        (reference: GAN_train.py:397-408)."""
+        k = min(k, len(self.images))
+        rng = np.random.RandomState(self.seed)
+        bpp = rng.choice(self.bpp_range, size=(k, 1)).astype(np.float32)
+        if self.target_bpp is not None:
+            bpp[:] = self.target_bpp
+        return Batch(
+            image=jnp.asarray(self.images[:k]),
+            mask=jnp.asarray(self.masks[:k]),
+            bpp=jnp.asarray(bpp),
+        )

@@ -1,0 +1,56 @@
+"""Skip-connection transposed-conv generator (reference: GAN_functions.py:236-278).
+
+Structure (latent + skips from the paired Encoder -> 256x256x3 in [-1,1]):
+    Dense(16*16*512) -> reshape -> BN -> LeakyReLU(0.2)
+    ConvT 256 k4 s2 -> BN -> LReLU -> concat skip3   (32x32)
+    ConvT 128 k4 s2 -> BN -> LReLU -> concat skip2   (64x64)
+    ConvT 64  k4 s2 -> BN -> LReLU -> concat skip1   (128x128)
+    ConvT 32  k4 s2 -> BN -> LReLU                   (256x256)
+    Conv C k4 s1 -> tanh
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from contextual_image_compression_tpu.models.layers import (
+    KBatchNorm,
+    KConv,
+    KConvT,
+    KDense,
+    leaky_relu,
+)
+
+
+class Generator(nn.Module):
+    out_channels: int = 3
+    channels: Tuple[int, ...] = (256, 128, 64, 32)
+    base_hw: int = 16
+    base_ch: int = 512
+    leaky_slope: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent, skips, train: bool = True):
+        skip1, skip2, skip3 = skips
+        dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = KDense(self.base_hw * self.base_hw * self.base_ch, name="fc", **dt)(latent)
+        x = x.reshape(x.shape[0], self.base_hw, self.base_hw, self.base_ch)
+        x = KBatchNorm(name="bn0", **dt)(x, use_running_average=not train)
+        x = leaky_relu(x, self.leaky_slope)
+
+        concat_skips = (skip3, skip2, skip1, None)
+        for i, (ch, skip) in enumerate(zip(self.channels, concat_skips)):
+            x = KConvT(ch, 4, 2, name=f"deconv{i + 1}", **dt)(x)
+            x = KBatchNorm(name=f"bn{i + 1}", **dt)(x, use_running_average=not train)
+            x = leaky_relu(x, self.leaky_slope)
+            if skip is not None:
+                x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+
+        x = KConv(self.out_channels, 4, 1, name="out_conv", **dt)(x)
+        return jnp.tanh(x)

@@ -25,10 +25,23 @@ def opencv_gaussian_sigma(ksize: int) -> float:
     return 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
 
 
+# cv2.getGaussianKernel's fixed binomial kernels for small ksize with sigma <= 0.
+_CV2_SMALL_GAUSSIAN = {
+    1: np.array([1.0], np.float32),
+    3: np.array([0.25, 0.5, 0.25], np.float32),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], np.float32),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+                np.float32),
+    9: np.array([4, 13, 30, 51, 60, 51, 30, 13, 4], np.float32) / 256.0,
+}
+
+
 @functools.lru_cache(maxsize=64)
 def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
     """1-D Gaussian kernel identical to cv2.getGaussianKernel for float inputs."""
     if sigma <= 0:
+        if ksize in _CV2_SMALL_GAUSSIAN:
+            return _CV2_SMALL_GAUSSIAN[ksize]
         sigma = opencv_gaussian_sigma(ksize)
     half = (ksize - 1) / 2.0
     x = np.arange(ksize, dtype=np.float64) - half
@@ -176,8 +189,9 @@ def to_gan_range(img_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_gan_range(img: jnp.ndarray) -> jnp.ndarray:
-    """[-1, 1] float -> uint8 [0,255] (reference: GAN_functions.py:44)."""
-    return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+    """[-1, 1] float -> uint8 [0,255] (reference: GAN_functions.py:44; we round
+    instead of truncating so the conversion round-trips exactly)."""
+    return jnp.clip(jnp.round((img + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
 
 
 def to_unit_range(img_u8: jnp.ndarray) -> jnp.ndarray:
@@ -186,4 +200,4 @@ def to_unit_range(img_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_unit_range(img: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,298 @@
+"""High-level GAN training loop (reference: GAN_train.py:410-622,662-693).
+
+Per-epoch behavior mirrors the reference:
+  * D trained every other step, G every step (GAN_train.py:426-431)
+  * running-mean step prints (GAN_train.py:445-448)
+  * per-epoch sample visualizations (GAN_train.py:450-465)
+  * per-epoch rate-control gradient probe (GAN_train.py:468-472,624-660)
+  * per-epoch 4-panel + final 8-panel loss plots (GAN_train.py:502-544,583-609)
+  * component checkpoints every N epochs + final (GAN_train.py:547-581)
+  * main() flow: full training then per-bpp fine-tuning (GAN_train.py:662-693)
+
+plus what the reference lacks: optimizer-state checkpointing, resume, profiling
+hooks, and mesh sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextual_image_compression_tpu.checkpoint import CheckpointStore
+from contextual_image_compression_tpu.config import TrainConfig
+from contextual_image_compression_tpu.data.pipeline import CompressionDataset
+from contextual_image_compression_tpu.eval import plots
+from contextual_image_compression_tpu.models.vgg import load_vgg19_features
+from contextual_image_compression_tpu.parallel import sharding as shard_lib
+from contextual_image_compression_tpu.train.gan_trainer import (
+    Batch,
+    GANStepBuilder,
+    GANTrainState,
+)
+
+HISTORY_KEYS = (
+    "d_loss",
+    "g_loss",
+    "reconstruction_loss",
+    "gan_loss",
+    "perceptual_loss",
+    "l1_loss",
+    "latent_saliency_loss",
+    "rd_loss",
+)
+
+
+class GANTrainer:
+    """Owns the step functions, state, history, checkpoints, and artifacts."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        mesh=None,
+        bn_mode: str = "train",
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.log = log_fn
+
+        vgg_bundle = (
+            load_vgg19_features(cfg.vgg_weights_path) if cfg.use_perceptual else None
+        )
+        if vgg_bundle is not None:
+            vgg, vgg_vars = vgg_bundle
+            self.log("Perceptual loss: VGG19 weights loaded")
+        else:
+            vgg, vgg_vars = None, None
+            if cfg.use_perceptual:
+                # Same fallback contract as the reference (GAN_train.py:187-195).
+                self.log(
+                    "WARNING: no VGG19 weights available -- perceptual loss disabled"
+                )
+        self.builder = GANStepBuilder(cfg, vgg=vgg, vgg_vars=vgg_vars, bn_mode=bn_mode)
+        self.codec = self.builder.codec
+        self.disc = self.builder.disc
+        self.step_with_d, self.step_without_d = self.builder.jitted_steps()
+        self.store = CheckpointStore(cfg.model_dir)
+        self.history: Dict[str, List[float]] = {k: [] for k in HISTORY_KEYS}
+        self.state: Optional[GANTrainState] = None
+
+    # ----------------------------------------------------------------- state
+    def init_state(self, resume: bool = True) -> GANTrainState:
+        state = self.builder.init_state(
+            jax.random.PRNGKey(self.cfg.seed), batch_size=self.cfg.batch_size
+        )
+        self.start_epoch = 0
+        if resume:
+            templates = dict(state.codec_vars)
+            templates["discriminator"] = state.disc_vars
+            loaded, provenance = self.store.load_components(templates)
+            if any(p != "init" for p in provenance.values()):
+                self.log(f"Restored components: {provenance}")
+                disc_vars = loaded.pop("discriminator")
+                state = state.replace(codec_vars=loaded, disc_vars=disc_vars)
+                meta = self.store.latest_metadata()
+                if meta:
+                    self.start_epoch = int(meta.get("epoch", 0))
+                    self.history = {
+                        k: list(meta.get("history", {}).get(k, []))
+                        for k in HISTORY_KEYS
+                    }
+        if self.mesh is not None:
+            state = shard_lib.shard_state(state, self.mesh)
+        self.state = state
+        return state
+
+    def _place(self, batch: Batch) -> Batch:
+        if self.mesh is not None:
+            return shard_lib.shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------ train
+    def fit(
+        self,
+        dataset: CompressionDataset,
+        epochs: Optional[int] = None,
+        steps_per_epoch: Optional[int] = None,
+        artifacts: bool = True,
+        sample_batch: Optional[Batch] = None,
+    ) -> Dict[str, List[float]]:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        steps_per_epoch = steps_per_epoch or dataset.steps_per_epoch
+        if self.state is None:
+            self.init_state()
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        samples_dir = os.path.join(cfg.results_dir, "training_samples")
+        os.makedirs(samples_dir, exist_ok=True)
+        if sample_batch is None:
+            sample_batch = dataset.first_samples(cfg.sample_visualizations)
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            sums = {k: 0.0 for k in HISTORY_KEYS}
+            counts = {k: 0 for k in HISTORY_KEYS}
+            step_iter = dataset.epoch()
+            n_images = 0
+            for step in range(steps_per_epoch):
+                try:
+                    batch = next(step_iter)
+                except StopIteration:
+                    step_iter = dataset.epoch()
+                    batch = next(step_iter)
+                batch = self._place(batch)
+                # D every other step (reference: GAN_train.py:426-428)
+                step_fn = (
+                    self.step_with_d
+                    if step % cfg.d_every_n_steps == 0
+                    else self.step_without_d
+                )
+                self.state, metrics = step_fn(self.state, batch)
+                n_images += int(batch.image.shape[0])
+                for k, v in metrics.items():
+                    if k in sums:
+                        sums[k] += float(v)
+                        counts[k] += 1
+
+            means = {
+                k: (sums[k] / counts[k] if counts[k] else float("nan"))
+                for k in HISTORY_KEYS
+            }
+            for k in HISTORY_KEYS:
+                self.history[k].append(means[k])
+
+            dt = time.time() - t0
+            ips = n_images / dt if dt > 0 else float("nan")
+            self.log(
+                f"Epoch {self.start_epoch + epoch + 1}: "
+                f"D {means['d_loss']:.4f}, G {means['g_loss']:.4f}, "
+                f"Recon {means['reconstruction_loss']:.4f}, RD {means['rd_loss']:.4f}, "
+                f"LS {means['latent_saliency_loss']:.4f} "
+                f"({dt:.2f}s, {ips:.1f} img/s)"
+            )
+
+            if artifacts:
+                self._epoch_artifacts(
+                    self.start_epoch + epoch + 1, sample_batch, samples_dir
+                )
+            if (epoch + 1) % cfg.checkpoint_every == 0 or epoch + 1 == epochs:
+                self.save(f"epoch_{self.start_epoch + epoch + 1}")
+
+        self.save("final")
+        if artifacts:
+            plots.plot_final_losses(
+                self.history, os.path.join(cfg.results_dir, "final_loss_history.png")
+            )
+        return self.history
+
+    # -------------------------------------------------------------- artifacts
+    def _eval_codec(self, batch: Batch):
+        out, _ = self.codec.apply(
+            self.state.codec_vars, batch.image, batch.mask, batch.bpp, train=False
+        )
+        return out
+
+    def _epoch_artifacts(self, epoch: int, sample_batch: Batch, samples_dir: str):
+        cfg = self.cfg
+        out = self._eval_codec(self._place(sample_batch))
+        imgs = np.asarray(sample_batch.image)
+        masks = np.asarray(sample_batch.mask)
+        bpps = np.asarray(sample_batch.bpp)
+        comp = np.asarray(out.blended)
+        alloc = np.asarray(out.dynamic_threshold)
+        for i in range(len(imgs)):
+            plots.visualize_results(
+                imgs[i],
+                masks[i, :, :, 0],
+                comp[i],
+                os.path.join(
+                    samples_dir,
+                    f"sample_{i + 1}_epoch_{epoch}_bpp_{bpps[i, 0]:.2f}.png",
+                ),
+                alloc[i],
+            )
+        self.rate_control_probe(
+            sample_batch,
+            os.path.join(cfg.results_dir, "rate_control_test.png"),
+        )
+        plots.plot_epoch_losses(
+            self.history,
+            os.path.join(cfg.results_dir, f"loss_history_epoch_{epoch}.png"),
+        )
+
+    def rate_control_probe(self, sample_batch: Batch, save_path: Optional[str] = None):
+        """d(hq_ratio)/d(target_bpp) probe at bpp in {0.1, 1.0, 2.0}
+        (reference: GAN_train.py:624-660), computed with jax.grad instead of a
+        GradientTape, plus the bit-allocation strip visualization."""
+        img = sample_batch.image[:1]
+        mask = sample_batch.mask[:1]
+        vars_ = self.state.codec_vars
+
+        def hq_ratio(bpp_scalar):
+            bpp = jnp.full((1, 1), bpp_scalar)
+            out, _ = self.codec.apply(vars_, img, mask, bpp, train=False)
+            return jnp.mean(out.dynamic_threshold)
+
+        results = []
+        allocations = {}
+        for bpp in (0.1, 1.0, 2.0):
+            ratio, grad = jax.value_and_grad(hq_ratio)(jnp.float32(bpp))
+            results.append((bpp, float(ratio), float(grad)))
+            out, _ = self.codec.apply(
+                vars_, img, mask, jnp.full((1, 1), bpp), train=False
+            )
+            allocations[bpp] = np.asarray(out.dynamic_threshold[0])
+        self.log("Rate Control Gradient Test:")
+        for bpp, ratio, grad in results:
+            self.log(f"  BPP: {bpp}, HQ Ratio: {ratio:.4f}, Gradient: {grad:.6f}")
+        if save_path:
+            plots.visualize_bit_allocation_by_bpp(
+                np.asarray(img[0]), allocations, save_path
+            )
+        return results
+
+    # ------------------------------------------------------------ checkpoints
+    def save(self, tag: str):
+        components = dict(self.state.codec_vars)
+        components["discriminator"] = self.state.disc_vars
+        self.store.save_components(components, tag)
+        self.store.save_component(
+            "optimizers",
+            {
+                "g_opt": self.state.g_opt,
+                "ls_opt": self.state.ls_opt,
+                "rd_opt": self.state.rd_opt,
+                "d_opt": self.state.d_opt,
+                "step": self.state.step,
+            },
+            tag,
+        )
+        epoch = len(self.history["g_loss"]) + getattr(self, "start_epoch", 0)
+        self.store.save_metadata({"epoch": epoch, "history": self.history}, tag)
+
+
+def train_full_reference_flow(
+    cfg: TrainConfig, dataset: CompressionDataset, mesh=None, log=print
+) -> GANTrainer:
+    """The reference main() flow: train EPOCHS, then fine-tune per fixed bpp
+    (reference: GAN_train.py:662-693)."""
+    trainer = GANTrainer(cfg, mesh=mesh, log_fn=log)
+    trainer.init_state()
+    trainer.fit(dataset)
+    for target_bpp in cfg.bpp_range:
+        log(f"Fine-tuning for target bitrate: {target_bpp} bpp...")
+        ds_bpp = CompressionDataset(
+            dataset.images,
+            dataset.masks,
+            batch_size=cfg.batch_size,
+            bpp_range=cfg.bpp_range,
+            target_bpp=float(target_bpp),
+            seed=cfg.seed,
+        )
+        trainer.fit(ds_bpp, epochs=cfg.fine_tune_epochs)
+    return trainer

@@ -1,0 +1,45 @@
+"""Pytree helpers."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def param_count(tree: Any) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(tree))
+
+
+def param_bytes(tree: Any) -> int:
+    return sum(int(x.size) * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
+def tree_finite(tree: Any) -> jnp.ndarray:
+    """Scalar bool: every leaf everywhere finite. Use inside jitted guards."""
+    leaves = [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    if not leaves:
+        return jnp.asarray(True)
+    return jnp.stack(leaves).all()
+
+
+def find_nonfinite(tree: Any) -> Dict[str, float]:
+    """Host-side debugging: {path: max-abs-nonfinite-count} for offending leaves."""
+    bad = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            n = int(jnp.sum(~jnp.isfinite(leaf)))
+            if n:
+                bad[jax.tree_util.keystr(path)] = n
+    return bad
+
+
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast floating-point leaves (e.g. fp32 -> bf16 for inference)."""
+    def one(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(one, tree)

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Train the adaptive GAN compression codec (the reference's `python GAN_train.py`
+flow, GAN_train.py:662-693, as a configurable CLI).
+
+Examples:
+  python scripts/train_gan.py --data-dir dataset --epochs 20
+  python scripts/train_gan.py --synthetic 64 --epochs 2 --img-size 128 \
+      --base-latent-dim 128      # smoke run, no dataset needed
+  python scripts/train_gan.py --data-dir dataset --model-parallel 2  # 2-way TP
+"""
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default="dataset")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic images instead of a dataset dir")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=None)
+    p.add_argument("--base-latent-dim", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--results-dir", default=None)
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--vgg-weights", default="")
+    p.add_argument("--no-perceptual", action="store_true")
+    p.add_argument("--quant-grad-mode", choices=["ste", "reference"], default="ste")
+    p.add_argument("--bn-mode", choices=["train", "frozen"], default="train")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--no-fine-tune", action="store_true",
+                   help="skip the per-bpp fine-tuning phase")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from contextual_image_compression_tpu.config import (
+        ModelConfig, QuantizerConfig, TrainConfig,
+    )
+    from contextual_image_compression_tpu.data import images as image_io
+    from contextual_image_compression_tpu.data.pipeline import (
+        CompressionDataset, prepare_masks,
+    )
+    from contextual_image_compression_tpu.parallel import create_mesh
+    from contextual_image_compression_tpu.train.loop import GANTrainer
+
+    mcfg = ModelConfig()
+    if args.img_size:
+        mcfg = dataclasses.replace(
+            mcfg, img_size=(args.img_size, args.img_size),
+            generator_base_hw=args.img_size // 16,
+        )
+    if args.base_latent_dim:
+        mcfg = dataclasses.replace(mcfg, base_latent_dim=args.base_latent_dim)
+    mcfg = dataclasses.replace(
+        mcfg, quantizer=QuantizerConfig(grad_mode=args.quant_grad_mode)
+    )
+
+    cfg = TrainConfig(model=mcfg, seed=args.seed,
+                      vgg_weights_path=args.vgg_weights,
+                      use_perceptual=not args.no_perceptual)
+    overrides = {}
+    for field, val in [("epochs", args.epochs), ("batch_size", args.batch_size),
+                       ("learning_rate", args.learning_rate),
+                       ("results_dir", args.results_dir),
+                       ("model_dir", args.model_dir)]:
+        if val is not None:
+            overrides[field] = val
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    if args.synthetic:
+        images = image_io.synthetic_images(args.synthetic, mcfg.img_size, args.seed)
+        print(f"Using {len(images)} synthetic images")
+    else:
+        images, _, _ = image_io.load_folder_gan(
+            args.data_dir, mcfg.img_size, args.max_images
+        )
+        if len(images) == 0:
+            print(f"No images found in {args.data_dir}!")
+            return 1
+        print(f"Loaded {len(images)} images from {args.data_dir}")
+
+    print("Computing saliency masks on device...")
+    masks = prepare_masks(images, cfg.saliency)
+    dataset = CompressionDataset(
+        images, masks, batch_size=cfg.batch_size, bpp_range=cfg.bpp_range,
+        seed=cfg.seed,
+    )
+
+    mesh = None
+    if args.model_parallel > 1:
+        mesh = create_mesh(model_parallel=args.model_parallel)
+        print(f"Mesh: {dict(mesh.shape)}")
+
+    trainer = GANTrainer(cfg, mesh=mesh, bn_mode=args.bn_mode)
+    trainer.init_state(resume=not args.no_resume)
+    trainer.fit(dataset)
+
+    if not args.no_fine_tune:
+        for target_bpp in cfg.bpp_range:
+            print(f"Fine-tuning for target bitrate: {target_bpp} bpp...")
+            ds_bpp = CompressionDataset(
+                images, masks, batch_size=cfg.batch_size,
+                bpp_range=cfg.bpp_range, target_bpp=float(target_bpp), seed=cfg.seed,
+            )
+            trainer.fit(ds_bpp, epochs=cfg.fine_tune_epochs)
+    print("Training completed!")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

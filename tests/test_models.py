@@ -1,0 +1,171 @@
+"""Model zoo shape/behavior contracts (reference shapes from SURVEY.md section 2.2).
+
+Tests use a reduced 64x64 config for speed; one test pins the exact reference
+256x256 shapes via shape inference (jax.eval_shape -- no FLOPs spent).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contextual_image_compression_tpu.config import ModelConfig, QuantizerConfig
+from contextual_image_compression_tpu.models import (
+    AdaptiveCodec,
+    Autoencoder,
+    Discriminator,
+    Encoder,
+    Generator,
+    LatentSaliency,
+    RDOptimizer,
+)
+from contextual_image_compression_tpu.models.spectral_norm import SpectralNormDense
+from contextual_image_compression_tpu.ops.attention import (
+    attention_core_jnp,
+    attention_core_pallas,
+)
+
+SMALL = ModelConfig(
+    img_size=(64, 64),
+    base_latent_dim=32,
+    generator_base_hw=4,
+    attention_use_pallas=False,
+    quantizer=QuantizerConfig(use_pallas=False),
+)
+
+
+def test_reference_shapes_256():
+    """Exact reference shape contract at full scale, via abstract evaluation."""
+    cfg = ModelConfig()  # 256x256, D=512
+    codec = AdaptiveCodec(cfg)
+    img = jax.ShapeDtypeStruct((2, 256, 256, 3), jnp.float32)
+
+    enc = codec.hq_encoder
+    out_shapes = jax.eval_shape(
+        lambda x: enc.init_with_output(jax.random.PRNGKey(0), x, train=False)[0], img
+    )
+    latent, (s1, s2, s3) = out_shapes
+    assert latent.shape == (2, 1024)  # HQ latent = 2*512
+    assert s1.shape == (2, 128, 128, 64)
+    assert s2.shape == (2, 64, 64, 128)
+    assert s3.shape == (2, 32, 32, 256)
+
+
+def test_adaptive_codec_outputs():
+    codec = AdaptiveCodec(SMALL)
+    vars_ = codec.init(jax.random.PRNGKey(0), batch_size=2)
+    img = jnp.zeros((2, 64, 64, 3))
+    mask = jnp.full((2, 64, 64, 1), 0.5)
+    bpp = jnp.ones((2, 1))
+    out, updates = codec.apply(vars_, img, mask, bpp, train=True)
+    assert out.blended.shape == (2, 64, 64, 3)
+    assert out.hq_latent_q.shape == (2, 64)
+    assert out.lq_latent_q.shape == (2, 32)
+    assert out.rd_params.shape == (2, 3)
+    assert out.dynamic_threshold.shape == (2, 64, 64, 1)
+    assert float(jnp.abs(out.blended).max()) <= 1.0  # tanh range
+    assert set(updates) == {"hq_encoder", "lq_encoder", "hq_generator", "lq_generator"}
+
+
+def test_rd_schedule_reference_formulas():
+    """(reference: GAN_functions.py:631-649)"""
+    codec = AdaptiveCodec(SMALL)
+    bpp = jnp.array([[0.1], [1.0], [2.0], [10.0]])
+    overall, thr, qs = codec.rd_schedule(bpp)
+    b = np.clip(np.array([0.1, 1.0, 2.0, 10.0]) / 5.0, 0, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(overall), 1 - 0.8 * b, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(thr), 0.9 - 0.85 * b, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qs), 0.9 - 0.8 * b, atol=1e-6)
+
+
+def test_dynamic_threshold_monotone_in_bpp():
+    """Higher target bpp -> lower threshold -> more HQ area
+    (the reference's rate-control contract, hq_ratio_by_bpp.png)."""
+    codec = AdaptiveCodec(SMALL)
+    mask = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 1).astype(np.float32))
+    ratios = []
+    for bpp in [0.1, 1.0, 2.0]:
+        _, thr, _ = codec.rd_schedule(jnp.full((1, 1), bpp))
+        ratios.append(float(jnp.mean(codec.dynamic_threshold(mask, thr))))
+    assert ratios[0] < ratios[1] < ratios[2]
+
+
+def test_hard_threshold_mode():
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, threshold_mode="hard")
+    codec = AdaptiveCodec(cfg)
+    mask = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 1).astype(np.float32))
+    thr = jnp.full((1, 1), 0.5)
+    out = np.asarray(codec.dynamic_threshold(mask, thr))
+    assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
+def test_discriminator_sigmoid_and_stages():
+    disc = Discriminator()
+    img = jnp.zeros((2, 64, 64, 3))
+    v = disc.init(jax.random.PRNGKey(0), img, train=False)
+    p = disc.apply(v, img, train=False)
+    assert p.shape == (2, 1)
+    assert 0.0 <= float(p.min()) and float(p.max()) <= 1.0
+    # 64 -> 4 stages (log2(64/4) = 4)
+    assert sum(1 for k in v["params"] if k.startswith("conv")) == 4
+
+
+def test_discriminator_non_power_of_two():
+    disc = Discriminator()
+    img = jnp.zeros((1, 96, 96, 3))
+    v = disc.init(jax.random.PRNGKey(0), img, train=False)
+    p = disc.apply(v, img, train=False)
+    assert p.shape == (1, 1)
+
+
+def test_latent_saliency_range():
+    m = LatentSaliency()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32)))
+    s = m.apply(v, jnp.ones((2, 32)) * 10)
+    assert s.shape == (2, 1)
+    assert 0.0 < float(s.min()) and float(s.max()) < 1.0
+
+
+def test_rd_optimizer_outputs():
+    m = RDOptimizer()
+    img = jnp.zeros((2, 64, 64, 3))
+    sal = jnp.zeros((2, 64, 64, 1))
+    bpp = jnp.ones((2, 1))
+    v = m.init(jax.random.PRNGKey(0), img, sal, bpp)
+    out = m.apply(v, img, sal, bpp)
+    assert out.shape == (2, 3)
+    assert 0.0 < float(out.min()) and float(out.max()) < 1.0
+
+
+def test_autoencoder_shapes():
+    ae = Autoencoder()
+    x = jnp.zeros((2, 128, 128, 3))
+    v = ae.init(jax.random.PRNGKey(0), x)
+    y = ae.apply(v, x)
+    assert y.shape == (2, 128, 128, 3)
+    assert 0.0 <= float(y.min()) and float(y.max()) <= 1.0
+    z = ae.apply(v, x, method=ae.encode)
+    assert z.shape == (2, 32, 32, 64)  # reference bottleneck (train_autoencoder.py:18)
+
+
+def test_attention_pallas_matches_jnp(rng):
+    q = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32))
+    out_p = attention_core_pallas(q, k, v)
+    out_j = attention_core_jnp(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j), atol=1e-5)
+    # gradients flow
+    g = jax.grad(lambda q_: jnp.sum(attention_core_pallas(q_, k, v) ** 2))(q)
+    gj = jax.grad(lambda q_: jnp.sum(attention_core_jnp(q_, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gj), atol=1e-4)
+
+
+def test_spectral_norm_normalizes():
+    sn = SpectralNormDense(16)
+    v = sn.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
+    out, mut = sn.apply(v, jnp.ones((2, 8)), update_stats=True, mutable=["spectral_stats"])
+    assert out.shape == (2, 16)
+    assert bool(jnp.any(mut["spectral_stats"]["u"] != v["spectral_stats"]["u"]))
