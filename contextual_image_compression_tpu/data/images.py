@@ -99,12 +99,35 @@ def load_folder_gan(
     folder: str,
     target_size: Tuple[int, int] = (256, 256),
     max_images: Optional[int] = None,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, List[str], List[int]]:
     """Load a folder for the GAN pipeline: [-1,1] images + file names + byte sizes
-    (reference: GAN_train.py:56-75, GAN_test.py:222-263)."""
+    (reference: GAN_train.py:56-75, GAN_test.py:222-263).
+
+    Fast path: the native multithreaded C++ loader (libjpeg/libpng decode +
+    bilinear resize + normalize); falls back to the per-file cv2 path."""
     paths = list_images(folder)
     if max_images:
         paths = paths[:max_images]
+    if not paths:
+        return np.zeros((0, target_size[1], target_size[0], 3), np.float32), [], []
+
+    if use_native:
+        try:
+            from contextual_image_compression_tpu import native
+
+            if native.loader_available():
+                batch, ok = native.load_images(paths, target_size, "gan")
+                images = batch[ok]
+                names = [os.path.basename(p) for p, o in zip(paths, ok) if o]
+                sizes = [os.path.getsize(p) for p, o in zip(paths, ok) if o]
+                for p, o in zip(paths, ok):
+                    if not o:
+                        print(f"Error loading {p}: native decode failed")
+                return images, names, sizes
+        except Exception as e:
+            print(f"native loader unavailable ({e}); using cv2 path")
+
     images, names, sizes = [], [], []
     for p in paths:
         try:

@@ -1,0 +1,89 @@
+"""Real bitstreams for the learned codecs.
+
+The reference never serializes a compressed representation -- its bpp numbers are
+analytic functions of latent dimensionality (GAN_test.py:314-325). This module
+closes that gap: quantized latents (and DCT symbols) become actual byte streams via
+the native C++ adaptive range coder (contextual_image_compression_tpu/native), with
+zlib fallback, and 'measured bpp' becomes a real quantity alongside the reference's
+analytic one.
+
+Latent stream layout per image (little-endian):
+  [uint8 version=1][float32 scale][uint32 n_symbols][uint32 payload_len][payload]
+where symbols = round(latent * scale) as int16 and scale = exp(3*q*(1-s)) is the
+quantizer grid scale for this image (GAN_functions.py:436-446 semantics).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+
+from contextual_image_compression_tpu import native
+
+_HEADER = struct.Struct("<BfII")
+_VERSION = 1
+
+
+def _encode_payload(symbols: np.ndarray) -> bytes:
+    if native.available():
+        return native.entropy_encode(symbols)
+    return zlib.compress(np.ascontiguousarray(symbols, np.int16).tobytes(), 6)
+
+
+def _decode_payload(payload: bytes, n: int) -> np.ndarray:
+    if native.available():
+        return native.entropy_decode(payload, n)
+    return np.frombuffer(zlib.decompress(payload), np.int16)[:n].copy()
+
+
+def pack_latent(latent: np.ndarray, scale: float) -> bytes:
+    """Serialize one latent vector at quantizer grid `scale` to a bitstream.
+    `latent` may be the pre- or post-quantization latent; symbols are
+    round(latent*scale) either way (idempotent on the quantized latent)."""
+    symbols = np.clip(np.round(latent * scale), -32768, 32767).astype(np.int16)
+    payload = _encode_payload(symbols)
+    return _HEADER.pack(_VERSION, float(scale), symbols.size, len(payload)) + payload
+
+
+def unpack_latent(stream: bytes) -> Tuple[np.ndarray, float]:
+    """Returns (dequantized latent float32, scale)."""
+    version, scale, n, plen = _HEADER.unpack_from(stream, 0)
+    if version != _VERSION:
+        raise ValueError(f"unknown bitstream version {version}")
+    symbols = _decode_payload(stream[_HEADER.size : _HEADER.size + plen], n)
+    return symbols.astype(np.float32) / scale, scale
+
+
+def quantizer_scale(saliency_score: float, quant_strength: float,
+                    scale_coeff: float = 3.0) -> float:
+    """scale = exp(coeff * quant_strength * (1 - saliency_score))
+    (GAN_functions.py:436-441)."""
+    return float(np.exp(scale_coeff * quant_strength * (1.0 - saliency_score)))
+
+
+def pack_codec_latents(
+    hq_latent_q: np.ndarray,   # (B, 2D) quantized
+    lq_latent_q: np.ndarray,   # (B, D) quantized
+    hq_scales: np.ndarray,     # (B,)
+    lq_scales: np.ndarray,     # (B,)
+) -> List[Tuple[bytes, bytes]]:
+    """Per-image (hq_stream, lq_stream) pairs for a batch."""
+    out = []
+    for i in range(hq_latent_q.shape[0]):
+        out.append(
+            (
+                pack_latent(hq_latent_q[i], float(hq_scales[i])),
+                pack_latent(lq_latent_q[i], float(lq_scales[i])),
+            )
+        )
+    return out
+
+
+def measured_bpp(streams: List[Tuple[bytes, bytes]], img_hw: Tuple[int, int]) -> np.ndarray:
+    """REAL bits-per-pixel of the serialized latents (vs the reference's analytic
+    accounting)."""
+    hw = float(img_hw[0] * img_hw[1])
+    return np.array([8.0 * (len(h) + len(l)) / hw for h, l in streams], np.float32)

@@ -130,7 +130,7 @@ def _dct_strip_kernel(x_ref, d_ref, bd_ref, q_ref, out_ref, sym_ref):
     x = x_ref[0]          # (8, W), level-shifted
     d = d_ref[:]          # (8, 8)
     bd = bd_ref[:]        # (W, W) block-diag of D^T
-    q = q_ref[:]          # (8, W) tiled quant table
+    q = q_ref[0]          # (8, W) tiled quant table
 
     rowt = jnp.dot(d, x, preferred_element_type=jnp.float32)       # D @ X
     coef = jnp.dot(rowt, bd, preferred_element_type=jnp.float32)   # (D X) BD
@@ -183,8 +183,8 @@ def _dct_strips_jnp(strips: jnp.ndarray, qtable_strip: jnp.ndarray):
     coef = jnp.einsum("niw,wv->niv", rowt, bd)
     sym = jnp.round(coef / qtable_strip)
     deq = sym * qtable_strip
-    colt = jnp.einsum("niv,wv->niw", deq, bd)
-    rec = jnp.einsum("ij,niw->njw", d.T, colt)
+    colt = jnp.einsum("niv,wv->niw", deq, bd)  # deq @ bd.T per strip
+    rec = jnp.einsum("ij,niw->njw", d, colt)   # d^T @ colt (contract d's first index)
     return rec, sym
 
 
@@ -260,9 +260,14 @@ class DCTCodec:
     # ----------------------------------------------------------- real stream
     @staticmethod
     def serialize(symbols: np.ndarray) -> bytes:
-        """A real (if simple) bitstream: int16 symbols + zlib. The reference never
-        serializes at all; this provides an honest measured-size option."""
-        s = np.asarray(symbols, np.int16)
+        """A real bitstream: the native C++ adaptive range coder when available
+        (within ~1% of the order-0 entropy bound), zlib otherwise. The reference
+        never serializes at all; this provides an honest measured-size option."""
+        from contextual_image_compression_tpu import native
+
+        s = np.clip(np.asarray(symbols), -32768, 32767).astype(np.int16)
+        if native.available():
+            return native.entropy_encode(s.ravel())
         return zlib.compress(s.tobytes(), level=6)
 
     @staticmethod

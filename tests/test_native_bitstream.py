@@ -1,0 +1,76 @@
+"""Native C++ range coder and latent bitstreams (capability the reference lacks:
+it never serializes -- GAN_test.py:314-325 is purely analytic)."""
+
+import numpy as np
+import pytest
+
+from contextual_image_compression_tpu import native
+from contextual_image_compression_tpu.ops import bitstream
+
+
+@pytest.fixture(scope="module")
+def have_native():
+    return native.available()
+
+
+def test_roundtrip_laplacian(rng, have_native):
+    if not have_native:
+        pytest.skip("no C++ toolchain")
+    sym = rng.laplace(0, 2, size=50000).astype(np.int16)
+    data = native.entropy_encode(sym)
+    np.testing.assert_array_equal(native.entropy_decode(data, sym.size), sym)
+
+
+def test_beats_entropy_neighborhood(rng, have_native):
+    if not have_native:
+        pytest.skip("no C++ toolchain")
+    sym = rng.laplace(0, 2, size=50000).astype(np.int16)
+    data = native.entropy_encode(sym)
+    vals, counts = np.unique(sym, return_counts=True)
+    p = counts / counts.sum()
+    bound_bytes = -(p * np.log2(p)).sum() * sym.size / 8
+    assert len(data) < bound_bytes * 1.05  # within 5% of order-0 entropy
+
+
+def test_edge_values(have_native):
+    if not have_native:
+        pytest.skip("no C++ toolchain")
+    for edge in [
+        np.zeros(100, np.int16),
+        np.full(10, 32767, np.int16),
+        np.full(10, -32768, np.int16),
+        np.array([], np.int16),
+        np.array([0, -1, 1, 0, 0, 5], np.int16),
+    ]:
+        data = native.entropy_encode(edge)
+        np.testing.assert_array_equal(native.entropy_decode(data, edge.size), edge)
+
+
+def test_batch_threaded(rng, have_native):
+    if not have_native:
+        pytest.skip("no C++ toolchain")
+    sym = rng.laplace(0, 3, size=(8, 4096)).astype(np.int16)
+    blob = native.entropy_encode_batch(sym, num_threads=4)
+    np.testing.assert_array_equal(native.entropy_decode_batch(blob, 8, 4096), sym)
+
+
+def test_latent_bitstream_roundtrip(rng):
+    latent = rng.randn(512).astype(np.float32) * 3
+    scale = bitstream.quantizer_scale(saliency_score=0.3, quant_strength=0.7)
+    stream = bitstream.pack_latent(latent, scale)
+    deq, got_scale = bitstream.unpack_latent(stream)
+    np.testing.assert_allclose(got_scale, scale, rtol=1e-6)
+    # dequantized latent equals the quantizer's output exactly
+    expected = np.round(latent * scale) / scale
+    np.testing.assert_allclose(deq, expected, atol=1e-5)
+
+
+def test_measured_bpp_sane(rng):
+    hq = np.round(rng.randn(2, 1024) * 4).astype(np.float32)
+    lq = np.round(rng.randn(2, 512) * 4).astype(np.float32)
+    streams = bitstream.pack_codec_latents(hq, lq, np.ones(2), np.ones(2))
+    bpp = bitstream.measured_bpp(streams, (256, 256))
+    assert bpp.shape == (2,)
+    assert (bpp > 0).all()
+    # far below the analytic 32-bits-per-float model
+    assert (bpp < 0.25).all()
