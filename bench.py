@@ -8,12 +8,16 @@ dual generators, saliency blend) -- in bfloat16 at the reference scale (256x256,
 D=512/1024). The reference runs this per image: host OpenCV saliency + TF predict
 (SURVEY.md section 3.3).
 
+Methodology: the host<->device relay on this runtime has a multi-ms round trip and
+`block_until_ready` does not force completion, so each subject is iterated inside a
+single jitted `lax.fori_loop` (data-dependent chaining) and timed as
+(T(iters) - T(1)) / (iters - 1) with a scalar fetch forcing completion.
+
 Prints ONE JSON line:
   {"metric": "contextual_gan_codec_256_e2e", "value": <img/s/chip>,
    "unit": "images/sec/chip", "vs_baseline": <value / 5000>}
 (5000 img/s/chip is BASELINE.json's north-star target; the reference itself
-publishes no throughput numbers.) Detailed sub-benchmarks (saliency engine, AE
-codec, DCT Pallas codec, fp32 variants) go to BENCH_DETAILS.json.
+publishes no throughput numbers.) Detailed sub-benchmarks go to BENCH_DETAILS.json.
 """
 
 import json
@@ -28,14 +32,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timeit(fn, args, warmup=3, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def measure_images_per_sec(step_fn, x0, batch: int, iters: int = 30) -> float:
+    """step_fn: x -> x (same shape/dtype). Chains `n` data-dependent calls of the
+    jitted step (so they serialize on the device queue), fetches ONE scalar at the
+    end to force completion through the relay, and subtracts the single-call+fetch
+    time. (A lax.fori_loop formulation deadlocks this runtime's remote Pallas
+    compile path, and block_until_ready does not force completion here.)"""
+
+    fn = jax.jit(step_fn)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        x = x0
+        for _ in range(n):
+            x = fn(x)
+        float(jnp.sum(x[(0,) * x.ndim]))  # scalar fetch = real completion
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warm
+    t1 = min(timed(1) for _ in range(3))
+    tn = min(timed(iters) for _ in range(2))
+    per_iter = max((tn - t1) / (iters - 1), 1e-9)
+    return batch / per_iter
 
 
 def main():
@@ -53,63 +71,75 @@ def main():
     from contextual_image_compression_tpu.utils.tree import cast_floats
 
     on_tpu = jax.default_backend() == "tpu"
-    batch = 32 if on_tpu else 4
-    details = {"backend": jax.default_backend(), "batch": batch}
+    batch = 32 if on_tpu else 2
+    iters = 30 if on_tpu else 3
+    details = {"backend": jax.default_backend(), "batch": batch, "iters": iters}
 
-    images = jnp.asarray(synthetic_images(batch, (256, 256), seed=0))
+    images_np = synthetic_images(batch, (256, 256), seed=0)
     scfg = SaliencyConfig()
 
     # ---------------- flagship: saliency -> mask -> adaptive codec (bf16) ----
     cfg = ModelConfig(dtype="bfloat16")
     codec = AdaptiveCodec(cfg)
-    variables = codec.init(jax.random.PRNGKey(0), batch_size=1)
-    variables = cast_floats(variables, jnp.bfloat16)
+    variables = cast_floats(
+        codec.init(jax.random.PRNGKey(0), batch_size=1), jnp.bfloat16
+    )
+    bpp = jnp.ones((batch, 1), jnp.bfloat16)
 
-    def e2e(variables, imgs, bpp):
+    def e2e_step(imgs):
         sal = saliency_ops.compute_saliency_map(imgs, scfg.method, scfg)
         mask = mask_ops.create_saliency_mask(sal, smooth=True, config=scfg)[..., None]
         out, _ = codec.apply(
             variables, imgs.astype(jnp.bfloat16), mask.astype(jnp.bfloat16),
             bpp, train=False,
         )
-        return out.blended, out.dynamic_threshold
+        return out.blended.astype(imgs.dtype)
 
-    bpp = jnp.ones((batch, 1), jnp.bfloat16)
-    e2e_jit = jax.jit(e2e)
-    dt = _timeit(e2e_jit, (variables, images, bpp))
-    e2e_ips = batch / dt
+    imgs32 = jnp.asarray(images_np)
+    print("bench: e2e...", file=sys.stderr, flush=True)
+    e2e_ips = measure_images_per_sec(e2e_step, imgs32, batch, iters)
     details["contextual_gan_codec_256_e2e_bf16"] = e2e_ips
+    print(f"bench: e2e {e2e_ips:.0f} img/s", file=sys.stderr, flush=True)
 
-    # codec-only (no saliency) for the breakdown
-    codec_jit = jax.jit(
-        lambda v, i, m, b: codec.apply(v, i, m, b, train=False)[0].blended
-    )
+    # codec-only (fixed mask) for the breakdown
     mask_b = jnp.full((batch, 256, 256, 1), 0.5, jnp.bfloat16)
-    dt = _timeit(codec_jit, (variables, images.astype(jnp.bfloat16), mask_b, bpp))
-    details["gan_codec_256_forward_bf16"] = batch / dt
+
+    def codec_step(imgs):
+        out, _ = codec.apply(variables, imgs, mask_b, bpp, train=False)
+        return out.blended
+
+    print("bench: codec-only...", file=sys.stderr, flush=True)
+    details["gan_codec_256_forward_bf16"] = measure_images_per_sec(
+        codec_step, imgs32.astype(jnp.bfloat16), batch, iters
+    )
 
     # saliency+mask engine only
-    sal_jit = jax.jit(
-        lambda i: mask_ops.create_saliency_mask(
-            saliency_ops.compute_saliency_map(i, scfg.method, scfg), config=scfg
-        )
+    def sal_step(imgs):
+        sal = saliency_ops.compute_saliency_map(imgs, scfg.method, scfg)
+        mask = mask_ops.create_saliency_mask(sal, smooth=True, config=scfg)
+        return imgs * 0.999 + mask[..., None] * 0.001
+
+    print("bench: saliency...", file=sys.stderr, flush=True)
+    details["saliency_mask_engine_256"] = measure_images_per_sec(
+        sal_step, imgs32, batch, iters
     )
-    dt = _timeit(sal_jit, (images,))
-    details["saliency_mask_engine_256"] = batch / dt
 
     # ---------------- AE codec (128^2, reference scale) ----------------------
     ae = Autoencoder(dtype=jnp.bfloat16)
-    img128 = jax.image.resize(images, (batch, 128, 128, 3), "linear") * 0.5 + 0.5
+    img128 = (jax.image.resize(imgs32, (batch, 128, 128, 3), "linear") * 0.5 + 0.5
+              ).astype(jnp.bfloat16)
     ae_vars = cast_floats(ae.init(jax.random.PRNGKey(1), img128), jnp.bfloat16)
-    ae_jit = jax.jit(ae.apply)
-    dt = _timeit(ae_jit, (ae_vars, img128.astype(jnp.bfloat16)))
-    details["ae_codec_128_forward_bf16"] = batch / dt
+    print("bench: ae...", file=sys.stderr, flush=True)
+    details["ae_codec_128_forward_bf16"] = measure_images_per_sec(
+        lambda x: ae.apply(ae_vars, x), img128, batch, iters
+    )
 
     # ---------------- DCT Pallas baseline codec ------------------------------
+    print("bench: dct...", file=sys.stderr, flush=True)
     dct = DCTCodec(DCTCodecConfig(use_pallas=on_tpu))
-    dct_jit = jax.jit(lambda i: dct.roundtrip(i)[0])
-    dt = _timeit(dct_jit, (images,))
-    details["dct_codec_256_roundtrip"] = batch / dt
+    details["dct_codec_256_roundtrip"] = measure_images_per_sec(
+        lambda x: dct.roundtrip(x)[0], imgs32, batch, iters
+    )
 
     with open(Path(__file__).resolve().parent / "BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -61,14 +61,26 @@ class CodecEvaluator:
         self, variables, images: np.ndarray, masks: np.ndarray, bpp: float,
         batch_size: Optional[int] = None,
     ):
-        """Codec forward over an image set at one target bpp, device-batched."""
+        """Codec forward over an image set at one target bpp, device-batched.
+
+        The tail batch is PADDED to the full batch size (then sliced back) so the
+        jitted forward compiles exactly once regardless of dataset size."""
         bs = batch_size or self.cfg.batch_size
         outs = []
         for start in range(0, len(images), bs):
-            img = jnp.asarray(images[start : start + bs])
-            mask = jnp.asarray(masks[start : start + bs])
-            bpp_arr = jnp.full((img.shape[0], 1), bpp, img.dtype)
-            outs.append(self._apply(variables, img, mask, bpp_arr))
+            img_np = images[start : start + bs]
+            mask_np = masks[start : start + bs]
+            n = len(img_np)
+            if n < bs:
+                pad = bs - n
+                img_np = np.concatenate([img_np, np.repeat(img_np[-1:], pad, 0)])
+                mask_np = np.concatenate([mask_np, np.repeat(mask_np[-1:], pad, 0)])
+            img = jnp.asarray(img_np)
+            bpp_arr = jnp.full((bs, 1), bpp, img.dtype)
+            out = self._apply(variables, img, jnp.asarray(mask_np), bpp_arr)
+            if n < bs:
+                out = jax.tree.map(lambda x: x[:n], out)
+            outs.append(out)
         return outs
 
     def compress_and_reconstruct(

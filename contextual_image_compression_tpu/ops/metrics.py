@@ -115,6 +115,14 @@ def gan_metrics(original: jnp.ndarray, compressed: jnp.ndarray) -> Dict[str, jnp
     }
 
 
+def estimate_compression_ratio(original_size, latent_size):
+    """(compression_ratio, percentage_reduction) from byte sizes
+    (reference: GAN_functions.py:809-823; unused there but part of the API)."""
+    compression_ratio = original_size / latent_size
+    percentage_reduction = (1.0 - latent_size / original_size) * 100.0
+    return compression_ratio, percentage_reduction
+
+
 def ae_metrics(original_u8: jnp.ndarray, compressed_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """AE evaluation metrics on uint8 images: MSE on raw values, PSNR at data_range 255,
     grayscale SSIM (reference: test_autoencoder.py:49-66; grayscale via BGR2GRAY whose

@@ -83,9 +83,11 @@ def adaptive_quantize_ste_jnp(latent, saliency_score, quant_strength,
 
 def _quant_fwd_kernel(latent_ref, score_ref, strength_ref, coeff_ref, out_ref):
     coeff = coeff_ref[0]
-    eff = strength_ref[:] * (1.0 - score_ref[:])  # (B, 1)
-    scale = jnp.exp(coeff * eff)                  # (B, 1), broadcasts over D
-    out_ref[:] = jnp.round(latent_ref[:] * scale) / scale
+    # compute in f32 regardless of storage dtype (bf16 inference params), cast back
+    eff = strength_ref[:].astype(jnp.float32) * (1.0 - score_ref[:].astype(jnp.float32))
+    scale = jnp.exp(coeff * eff)  # (B, 1), broadcasts over D
+    q = jnp.round(latent_ref[:].astype(jnp.float32) * scale) / scale
+    out_ref[:] = q.astype(out_ref.dtype)
 
 
 def _quant_bwd_ref_kernel(latent_ref, score_ref, strength_ref, coeff_ref, g_ref,

@@ -53,6 +53,7 @@ class AETrainer:
 
         self._train_step = train_step
         self._eval_loss = eval_loss
+        self._apply = jax.jit(self.model.apply)
 
     def init(self, rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(42)
@@ -113,9 +114,13 @@ class AETrainer:
 
     def reconstruct(self, images: np.ndarray, batch_size: int = 64) -> np.ndarray:
         outs = []
-        apply = jax.jit(self.model.apply)
         for start in range(0, len(images), batch_size):
-            outs.append(np.asarray(apply(self.params, jnp.asarray(images[start : start + batch_size]))))
+            chunk = images[start : start + batch_size]
+            n = len(chunk)
+            if n < batch_size and start > 0:  # pad tail to avoid a recompile
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], batch_size - n, 0)])
+            out = np.asarray(self._apply(self.params, jnp.asarray(chunk)))
+            outs.append(out[:n])
         return np.concatenate(outs) if outs else np.zeros_like(images)
 
     # ---------------------------------------------------------------- persist

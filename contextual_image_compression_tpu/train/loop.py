@@ -56,10 +56,16 @@ class GANTrainer:
         mesh=None,
         bn_mode: str = "train",
         log_fn: Callable[[str], None] = print,
+        nan_guard: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.log = log_fn
+        # NaN/Inf sentinel (SURVEY.md section 5 'race detection/sanitizers' slot):
+        # checks step metrics each step and diagnoses the offending parameter
+        # leaves on trigger. Costs one host sync per step -- debug tool, off by
+        # default.
+        self.nan_guard = nan_guard
 
         vgg_bundle = (
             load_vgg19_features(cfg.vgg_weights_path) if cfg.use_perceptual else None
@@ -153,6 +159,21 @@ class GANTrainer:
                     else self.step_without_d
                 )
                 self.state, metrics = step_fn(self.state, batch)
+                if self.nan_guard and not all(
+                    np.isfinite(float(v)) for v in metrics.values()
+                ):
+                    from contextual_image_compression_tpu.utils.tree import (
+                        find_nonfinite,
+                    )
+
+                    bad_params = find_nonfinite(
+                        {n: v for n, v in self.state.codec_vars.items()}
+                    )
+                    raise FloatingPointError(
+                        f"non-finite training metrics at step {int(self.state.step)}: "
+                        f"{ {k: float(v) for k, v in metrics.items()} }; "
+                        f"non-finite params: {bad_params}"
+                    )
                 n_images += int(batch.image.shape[0])
                 for k, v in metrics.items():
                     if k in sums:

@@ -34,7 +34,9 @@ def test_epoch_batching(data):
         assert b.image.shape == (4, 64, 64, 3)
         assert b.mask.shape == (4, 64, 64, 1)
         assert b.bpp.shape == (4, 1)
-        assert set(np.asarray(b.bpp).ravel()).issubset({0.1, 1.0, 2.0})
+        assert np.isin(
+            np.asarray(b.bpp).ravel(), np.float32([0.1, 1.0, 2.0])
+        ).all()
 
 
 def test_fixed_bpp_mode(data):
