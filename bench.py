@@ -32,12 +32,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure_images_per_sec(step_fn, x0, batch: int, iters: int = 30) -> float:
-    """step_fn: x -> x (same shape/dtype). Chains `n` data-dependent calls of the
-    jitted step (so they serialize on the device queue), fetches ONE scalar at the
-    end to force completion through the relay, and subtracts the single-call+fetch
-    time. (A lax.fori_loop formulation deadlocks this runtime's remote Pallas
-    compile path, and block_until_ready does not force completion here.)"""
+def measure_images_per_sec(step_fn, params, x0, batch: int, iters: int = 30) -> float:
+    """step_fn(params, x) -> x (same shape/dtype as x). `params` is passed as a
+    JIT ARGUMENT (never a closure constant -- closing over the 800MB parameter
+    pytree makes XLA constant-fold the module for minutes). Chains `n`
+    data-dependent calls (serializing on the device queue), fetches ONE scalar to
+    force completion through the relay (block_until_ready does not), and subtracts
+    the single-call+fetch time. (A lax.fori_loop formulation deadlocks this
+    runtime's remote Pallas compile path.)"""
 
     fn = jax.jit(step_fn)
 
@@ -45,7 +47,7 @@ def measure_images_per_sec(step_fn, x0, batch: int, iters: int = 30) -> float:
         t0 = time.perf_counter()
         x = x0
         for _ in range(n):
-            x = fn(x)
+            x = fn(params, x)
         float(jnp.sum(x[(0,) * x.ndim]))  # scalar fetch = real completion
         return time.perf_counter() - t0
 
@@ -71,8 +73,11 @@ def main():
     from contextual_image_compression_tpu.utils.tree import cast_floats
 
     on_tpu = jax.default_backend() == "tpu"
-    batch = 32 if on_tpu else 2
-    iters = 30 if on_tpu else 3
+    # batch 128 saturates the MXU on v5e (the M=batch dim of the big dense
+    # matmuls needs >= 128 rows); measured sweep: 32->2.2k, 64->3.4k, 128->5.0k,
+    # 256->4.8k img/s on the codec forward.
+    batch = 128 if on_tpu else 2
+    iters = 20 if on_tpu else 3
     details = {"backend": jax.default_backend(), "batch": batch, "iters": iters}
 
     images_np = synthetic_images(batch, (256, 256), seed=0)
@@ -86,42 +91,42 @@ def main():
     )
     bpp = jnp.ones((batch, 1), jnp.bfloat16)
 
-    def e2e_step(imgs):
-        sal = saliency_ops.compute_saliency_map(imgs, scfg.method, scfg)
-        mask = mask_ops.create_saliency_mask(sal, smooth=True, config=scfg)[..., None]
+    def e2e_step(v, imgs):
+        mask = mask_ops.compute_contextual_mask(imgs, scfg)[..., None]
         out, _ = codec.apply(
-            variables, imgs.astype(jnp.bfloat16), mask.astype(jnp.bfloat16),
+            v, imgs.astype(jnp.bfloat16), mask.astype(jnp.bfloat16),
             bpp, train=False,
         )
         return out.blended.astype(imgs.dtype)
 
     imgs32 = jnp.asarray(images_np)
     print("bench: e2e...", file=sys.stderr, flush=True)
-    e2e_ips = measure_images_per_sec(e2e_step, imgs32, batch, iters)
+    e2e_ips = measure_images_per_sec(e2e_step, variables, imgs32, batch, iters)
     details["contextual_gan_codec_256_e2e_bf16"] = e2e_ips
     print(f"bench: e2e {e2e_ips:.0f} img/s", file=sys.stderr, flush=True)
 
     # codec-only (fixed mask) for the breakdown
     mask_b = jnp.full((batch, 256, 256, 1), 0.5, jnp.bfloat16)
 
-    def codec_step(imgs):
-        out, _ = codec.apply(variables, imgs, mask_b, bpp, train=False)
+    def codec_step(v, imgs):
+        out, _ = codec.apply(v, imgs, mask_b, bpp, train=False)
         return out.blended
 
     print("bench: codec-only...", file=sys.stderr, flush=True)
     details["gan_codec_256_forward_bf16"] = measure_images_per_sec(
-        codec_step, imgs32.astype(jnp.bfloat16), batch, iters
+        codec_step, variables, imgs32.astype(jnp.bfloat16), batch, iters
     )
+    print("bench: codec-only %.0f img/s" % details["gan_codec_256_forward_bf16"],
+          file=sys.stderr, flush=True)
 
     # saliency+mask engine only
-    def sal_step(imgs):
-        sal = saliency_ops.compute_saliency_map(imgs, scfg.method, scfg)
-        mask = mask_ops.create_saliency_mask(sal, smooth=True, config=scfg)
+    def sal_step(_, imgs):
+        mask = mask_ops.compute_contextual_mask(imgs, scfg)
         return imgs * 0.999 + mask[..., None] * 0.001
 
     print("bench: saliency...", file=sys.stderr, flush=True)
     details["saliency_mask_engine_256"] = measure_images_per_sec(
-        sal_step, imgs32, batch, iters
+        sal_step, jnp.zeros(()), imgs32, batch, iters
     )
 
     # ---------------- AE codec (128^2, reference scale) ----------------------
@@ -131,14 +136,14 @@ def main():
     ae_vars = cast_floats(ae.init(jax.random.PRNGKey(1), img128), jnp.bfloat16)
     print("bench: ae...", file=sys.stderr, flush=True)
     details["ae_codec_128_forward_bf16"] = measure_images_per_sec(
-        lambda x: ae.apply(ae_vars, x), img128, batch, iters
+        lambda v, x: ae.apply(v, x), ae_vars, img128, batch, iters
     )
 
     # ---------------- DCT Pallas baseline codec ------------------------------
     print("bench: dct...", file=sys.stderr, flush=True)
     dct = DCTCodec(DCTCodecConfig(use_pallas=on_tpu))
     details["dct_codec_256_roundtrip"] = measure_images_per_sec(
-        lambda x: dct.roundtrip(x)[0], imgs32, batch, iters
+        lambda _, x: dct.roundtrip(x)[0], jnp.zeros(()), imgs32, batch, iters
     )
 
     with open(Path(__file__).resolve().parent / "BENCH_DETAILS.json", "w") as f:

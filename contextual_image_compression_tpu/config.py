@@ -50,6 +50,9 @@ class SaliencyConfig:
     mask_bilateral_sigma_color: float = 75.0
     mask_bilateral_sigma_space: float = 75.0
     mask_gaussian_ksize: int = 31  # sigma derived per OpenCV rule => 5.0
+    # Fused bilateral+gaussian+normalize Pallas kernel for the smooth-mask path
+    # (TPU only; identical numerics to the jnp path, tested).
+    mask_use_pallas: bool = True
     # Adaptive threshold clamps (reference: GAN_functions.py:189-194)
     mask_threshold_min: float = 0.05
     mask_threshold_max: float = 0.5

@@ -34,9 +34,7 @@ def make_mask_fn(config: SaliencyConfig | None = None):
 
     @jax.jit
     def fn(images: jnp.ndarray) -> jnp.ndarray:
-        sal = saliency_ops.compute_saliency_map(images, cfg.method, cfg)
-        m = mask_ops.create_saliency_mask(sal, smooth=cfg.mask_smooth, config=cfg)
-        return m[..., None]
+        return mask_ops.compute_contextual_mask(images, cfg)[..., None]
 
     return fn
 

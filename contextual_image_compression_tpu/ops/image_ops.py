@@ -87,8 +87,34 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray
     return x
 
 
+def _box_axis_cumsum(x: jnp.ndarray, ksize: int, axis: int) -> jnp.ndarray:
+    """Box mean along one axis via prefix sums: O(1) passes instead of O(k)."""
+    pad = ksize // 2
+    if axis == -2 or axis == x.ndim - 2:
+        xp = _reflect_pad_hw(x, pad, 0)
+    else:
+        xp = _reflect_pad_hw(x, 0, pad)
+    c = jnp.cumsum(xp, axis=axis)
+    n = x.shape[axis]
+    hi = jax.lax.slice_in_dim(c, ksize - 1, ksize - 1 + n, axis=axis)
+    lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+    first = jax.lax.slice_in_dim(hi, 0, 1, axis=axis)
+    rest = jax.lax.slice_in_dim(hi, 1, n, axis=axis) - jax.lax.slice_in_dim(
+        lo, 0, n - 1, axis=axis
+    )
+    return jnp.concatenate([first, rest], axis=axis) / ksize
+
+
 def box_filter(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """Normalized box filter on the last two axes (BORDER_REFLECT_101)."""
+    """Normalized box filter on the last two axes (BORDER_REFLECT_101).
+
+    Large kernels use the prefix-sum formulation (constant HBM passes regardless
+    of k -- the integral-image trick, which is also what OpenCV's fine-grained
+    saliency uses); small kernels use direct taps for exactness.
+    """
+    if ksize >= 7:
+        x = _box_axis_cumsum(x, ksize, axis=-2)
+        return _box_axis_cumsum(x, ksize, axis=-1)
     kern = jnp.full((ksize,), 1.0 / ksize, dtype=x.dtype)
     x = _conv_sep_axis(x, kern, axis=-2)
     x = _conv_sep_axis(x, kern, axis=-1)

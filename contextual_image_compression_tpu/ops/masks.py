@@ -111,6 +111,20 @@ def create_saliency_mask(
     """
     cfg = config or SaliencyConfig()
     if smooth:
+        if cfg.mask_use_pallas and jax.default_backend() == "tpu":
+            # fused single-VMEM-pass kernel (identical numerics, ~100x less HBM
+            # traffic) -- see ops/fused_mask.py
+            from contextual_image_compression_tpu.ops.fused_mask import (
+                smooth_mask_pallas,
+            )
+
+            return smooth_mask_pallas(
+                saliency_map,
+                d=cfg.mask_bilateral_d,
+                sigma_color=cfg.mask_bilateral_sigma_color,
+                sigma_space=cfg.mask_bilateral_sigma_space,
+                gauss_ksize=cfg.mask_gaussian_ksize,
+            )
         mask = iops.bilateral_filter(
             saliency_map,
             d=cfg.mask_bilateral_d,
@@ -122,6 +136,50 @@ def create_saliency_mask(
     if threshold is None:
         threshold = adaptive_threshold(saliency_map, cfg)[..., None, None]
     return (saliency_map > threshold).astype(jnp.float32)
+
+
+def compute_contextual_mask(
+    images: jnp.ndarray, config: SaliencyConfig | None = None
+) -> jnp.ndarray:
+    """End-to-end contextual mask: saliency ('combined') -> smooth mask, with the
+    fully fused Pallas path on TPU (fine-grained + combine + bilateral + Gaussian
+    + normalize in ONE kernel; the cheap 64x64 FFT spectral residual stays in
+    XLA). images: (B, H, W, 3) in [-1, 1] -> (B, H, W) masks."""
+    from contextual_image_compression_tpu.ops import saliency as saliency_ops
+
+    cfg = config or SaliencyConfig()
+    square = images.ndim >= 3 and images.shape[-3] == images.shape[-2]
+    if (
+        cfg.mask_use_pallas
+        and cfg.method == "combined"
+        and cfg.mask_smooth
+        and square
+        and jax.default_backend() == "tpu"
+    ):
+        from contextual_image_compression_tpu.ops.fused_mask import (
+            contextual_mask_pallas,
+        )
+
+        spec = saliency_ops.spectral_residual_saliency(
+            images, cfg.spectral_resolution, cfg.spectral_blur_sigma
+        )
+        gray = iops.rgb_to_gray((images + 1.0) * 127.5)
+        batched = gray.ndim == 3
+        if not batched:
+            gray, spec = gray[None], spec[None]
+        out = contextual_mask_pallas(
+            gray, spec,
+            scales=cfg.fine_grained_scales,
+            spectral_weight=cfg.combined_spectral_weight,
+            fine_weight=cfg.combined_fine_weight,
+            d=cfg.mask_bilateral_d,
+            sigma_color=cfg.mask_bilateral_sigma_color,
+            sigma_space=cfg.mask_bilateral_sigma_space,
+            gauss_ksize=cfg.mask_gaussian_ksize,
+        )
+        return out if batched else out[0]
+    sal = saliency_ops.compute_saliency_map(images, cfg.method, cfg)
+    return create_saliency_mask(sal, smooth=cfg.mask_smooth, config=cfg)
 
 
 def enhance_saliency_map(saliency_map: jnp.ndarray) -> jnp.ndarray:

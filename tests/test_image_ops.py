@@ -39,10 +39,11 @@ def test_bilateral_matches_cv2_real_color_sigma(smap):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
-def test_box_filter_matches_cv2(smap):
-    ours = np.asarray(iops.box_filter(jnp.asarray(smap), 5))
-    ref = cv2.blur(smap, (5, 5))
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+@pytest.mark.parametrize("k", [3, 5, 7, 9, 13])
+def test_box_filter_matches_cv2(smap, k):
+    ours = np.asarray(iops.box_filter(jnp.asarray(smap), k))
+    ref = cv2.blur(smap, (k, k))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 def test_filters_are_batched(smap, rng):
