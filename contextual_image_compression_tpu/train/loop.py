@@ -141,7 +141,10 @@ class GANTrainer:
 
         for epoch in range(epochs):
             t0 = time.time()
-            sums = {k: 0.0 for k in HISTORY_KEYS}
+            # Metric sums stay ON DEVICE during the epoch (each host fetch costs a
+            # full relay round trip on remote-TPU runtimes; fetching 10 metrics per
+            # step dominated the epoch time). One transfer at epoch end.
+            sums: Dict[str, jnp.ndarray] = {}
             counts = {k: 0 for k in HISTORY_KEYS}
             step_iter = dataset.epoch()
             n_images = 0
@@ -176,12 +179,12 @@ class GANTrainer:
                     )
                 n_images += int(batch.image.shape[0])
                 for k, v in metrics.items():
-                    if k in sums:
-                        sums[k] += float(v)
+                    if k in counts:
+                        sums[k] = v if k not in sums else sums[k] + v
                         counts[k] += 1
 
             means = {
-                k: (sums[k] / counts[k] if counts[k] else float("nan"))
+                k: (float(sums[k]) / counts[k] if counts[k] else float("nan"))
                 for k in HISTORY_KEYS
             }
             for k in HISTORY_KEYS:
