@@ -90,6 +90,13 @@ class ModelConfig:
     generator_channels: Tuple[int, ...] = (256, 128, 64, 32)
     generator_base_hw: int = 16  # dense -> 16x16x512 (reference: GAN_functions.py:247)
     generator_base_ch: int = 512
+    # Polyphase lowering of the generators' transposed convs (identical numerics
+    # and checkpoint layout). Measured on v5e: XLA's native input-dilated conv
+    # lowering is ~1.9x FASTER than the polyphase form (4971 vs 2633 img/s at
+    # batch 128) -- the phase interleave costs more bandwidth than the dilation
+    # wastes compute -- so this stays off; the module is kept (tested) for
+    # architectures where the tradeoff flips.
+    generator_polyphase: bool = False
     leaky_slope: float = 0.2
     # Self-attention at 32x32x256 in the HQ encoder only (reference: GAN_functions.py:315-318)
     hq_attention: bool = True

@@ -119,6 +119,7 @@ class AdaptiveCodec:
             base_hw=self.cfg.generator_base_hw,
             base_ch=self.cfg.generator_base_ch,
             leaky_slope=self.cfg.leaky_slope,
+            polyphase=self.cfg.generator_polyphase,
             **self._dt(),
         )
 

@@ -31,6 +31,7 @@ class Generator(nn.Module):
     base_hw: int = 16
     base_ch: int = 512
     leaky_slope: float = 0.2
+    polyphase: bool = False  # alt ConvTranspose lowering (same numerics; see config)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -46,7 +47,7 @@ class Generator(nn.Module):
 
         concat_skips = (skip3, skip2, skip1, None)
         for i, (ch, skip) in enumerate(zip(self.channels, concat_skips)):
-            x = KConvT(ch, 4, 2, name=f"deconv{i + 1}", **dt)(x)
+            x = KConvT(ch, 4, 2, polyphase=self.polyphase, name=f"deconv{i + 1}", **dt)(x)
             x = KBatchNorm(name=f"bn{i + 1}", **dt)(x, use_running_average=not train)
             x = leaky_relu(x, self.leaky_slope)
             if skip is not None:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -45,17 +46,78 @@ class KConv(nn.Module):
         )(x)
 
 
-class KConvT(nn.Module):
-    """Conv2DTranspose with keras defaults."""
+class _PolyphaseConvT4x4s2(nn.Module):
+    """ConvTranspose(kernel 4x4, stride 2, SAME) via polyphase decomposition.
+
+    Numerically identical to nn.ConvTranspose (verified to fp32 noise) with the
+    SAME parameter layout (kernel (4,4,Cin,Cout), bias), but lowered as ONE
+    stride-1 K=2 convolution with 4*Cout output channels + a phase interleave --
+    avoiding the input-dilated convolution XLA otherwise emits for transposed
+    convs (3/4 of whose input taps are structural zeros on a TPU MXU).
+
+    Derivation: with y = conv_transpose(x), y[2i+a, 2j+b] touches exactly the
+    2x2 kernel taps rows {0,2} (a=0) / {1,3} (a=1) x cols likewise, applied to a
+    1-padded x; phase (a,b) is the (H+1,W+1) VALID conv output shifted by (a,b).
+    """
 
     features: int
-    kernel: int = 4
-    stride: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        b, h, w, cin = x.shape
+        cout = self.features
+        kernel = self.param("kernel", glorot, (4, 4, cin, cout), self.param_dtype)
+        bias = self.param("bias", zeros, (cout,), self.param_dtype)
+        kernel = kernel.astype(self.dtype)
+
+        taps = {0: (0, 2), 1: (1, 3)}
+        subs = []
+        for a in (0, 1):
+            for bb in (0, 1):
+                ra, ca = taps[a], taps[bb]
+                sub = kernel[jnp.asarray(ra)][:, jnp.asarray(ca)]  # (2,2,Cin,Cout)
+                subs.append(sub)
+        wbig = jnp.concatenate(subs, axis=-1)  # (2,2,Cin,4*Cout)
+
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        yall = jax.lax.conv_general_dilated(
+            xp, wbig, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H+1, W+1, 4*Cout)
+        phases = []
+        k = 0
+        for a in (0, 1):
+            for bb in (0, 1):
+                phases.append(yall[:, a : h + a, bb : w + bb, k * cout : (k + 1) * cout])
+                k += 1
+        ph = jnp.stack(phases, axis=3).reshape(b, h, w, 2, 2, cout)
+        y = ph.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+        return y + bias.astype(self.dtype)
+
+
+class KConvT(nn.Module):
+    """Conv2DTranspose with keras defaults.
+
+    polyphase=True uses the MXU-friendly polyphase lowering for the 4x4/s2 case
+    (identical numerics AND parameter paths -- the inner module is named
+    'ConvTranspose_0' so checkpoints are interchangeable)."""
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    polyphase: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.polyphase and self.kernel == 4 and self.stride == 2:
+            return _PolyphaseConvT4x4s2(
+                self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="ConvTranspose_0",
+            )(x)
         return nn.ConvTranspose(
             self.features,
             (self.kernel, self.kernel),

@@ -169,3 +169,24 @@ def test_spectral_norm_normalizes():
     out, mut = sn.apply(v, jnp.ones((2, 8)), update_stats=True, mutable=["spectral_stats"])
     assert out.shape == (2, 16)
     assert bool(jnp.any(mut["spectral_stats"]["u"] != v["spectral_stats"]["u"]))
+
+
+def test_polyphase_convtranspose_equivalence(rng):
+    """Polyphase lowering of ConvTranspose(4,4,s2,SAME): identical outputs,
+    gradients, and parameter tree to the nn.ConvTranspose path."""
+    from contextual_image_compression_tpu.models.generator import Generator
+
+    lat = jnp.asarray(rng.randn(2, 64).astype(np.float32))
+    skips = (
+        jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 4, 4, 24).astype(np.float32)),
+    )
+    g_poly = Generator(channels=(24, 16, 8, 8), base_hw=2, base_ch=32, polyphase=True)
+    g_ref = Generator(channels=(24, 16, 8, 8), base_hw=2, base_ch=32, polyphase=False)
+    v = g_poly.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    y1 = g_poly.apply(v, lat, skips, train=False)
+    y2 = g_ref.apply(v, lat, skips, train=False)  # same params, different lowering
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    v2 = g_ref.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
