@@ -258,6 +258,54 @@ class DCTCodec:
         return {"reconstruction": rec, "symbols": sym, "bpp": bpp}
 
     # ----------------------------------------------------------- real stream
+    _STREAM_HEADER = "<BBHH"  # version, quality, height, width
+
+    def encode_stream(self, image: jnp.ndarray) -> bytes:
+        """Encode ONE (H, W, 3) [-1,1] image to a self-contained decodable
+        bitstream: header + range-coded symbols. (A capability the reference
+        lacks entirely -- it never serializes.)"""
+        import struct
+
+        rec, sym = self.roundtrip(image[None])
+        del rec
+        h, w = image.shape[0], image.shape[1]
+        payload = self.serialize(np.asarray(sym[0]))
+        return struct.pack(self._STREAM_HEADER, 1, self.cfg.quality, h, w) + payload
+
+    def decode_stream(self, data: bytes) -> jnp.ndarray:
+        """Inverse of encode_stream: bitstream -> (H, W, 3) image in [-1,1]."""
+        import struct
+        import zlib as _zlib
+
+        from contextual_image_compression_tpu import native
+
+        hdr = struct.calcsize(self._STREAM_HEADER)
+        version, quality, h, w = struct.unpack_from(self._STREAM_HEADER, data, 0)
+        if version != 1:
+            raise ValueError(f"unknown DCT stream version {version}")
+        if quality != self.cfg.quality:
+            raise ValueError(
+                f"stream quality {quality} != codec quality {self.cfg.quality}"
+            )
+        n = 3 * h * w
+        payload = data[hdr:]
+        if native.available():
+            sym = native.entropy_decode(payload, n)
+        else:
+            sym = np.frombuffer(_zlib.decompress(payload), np.int16)[:n]
+        sym = jnp.asarray(sym.astype(np.float32)).reshape(3 * (h // 8), 8, w)
+        qstrips = self._qtable_strips(1, 3, h, w)
+        deq_strips = sym * qstrips
+        # inverse transform only
+        d = jnp.asarray(_dct_matrix())
+        bd = jnp.asarray(_block_diag_dt(w))
+        colt = jnp.einsum("niv,wv->niw", deq_strips, bd)
+        rec_strips = jnp.einsum("ij,niw->njw", d, colt)
+        rec_planes = rec_strips.reshape(1, 3, h, w)
+        rec_ycc = jnp.moveaxis(rec_planes, 1, -1) + 128.0
+        rec = jnp.clip(ycbcr_to_rgb(rec_ycc) / 127.5 - 1.0, -1.0, 1.0)
+        return rec[0]
+
     @staticmethod
     def serialize(symbols: np.ndarray) -> bytes:
         """A real bitstream: the native C++ adaptive range coder when available

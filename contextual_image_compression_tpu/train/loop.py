@@ -127,7 +127,12 @@ class GANTrainer:
         steps_per_epoch: Optional[int] = None,
         artifacts: bool = True,
         sample_batch: Optional[Batch] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 3,
     ) -> Dict[str, List[float]]:
+        """profile_dir: capture a jax.profiler trace (XProf/Perfetto) of
+        `profile_steps` early steps of the first epoch -- the tracing tier the
+        reference lacks entirely (SURVEY.md section 5)."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         steps_per_epoch = steps_per_epoch or dataset.steps_per_epoch
@@ -149,6 +154,13 @@ class GANTrainer:
             step_iter = dataset.epoch()
             n_images = 0
             for step in range(steps_per_epoch):
+                if profile_dir and epoch == 0:
+                    # skip step 0 (compile); trace steps 1..profile_steps
+                    if step == 1:
+                        jax.profiler.start_trace(profile_dir)
+                    elif step == 1 + profile_steps:
+                        jax.profiler.stop_trace()
+                        self.log(f"profiler trace written to {profile_dir}")
                 try:
                     batch = next(step_iter)
                 except StopIteration:
@@ -182,6 +194,13 @@ class GANTrainer:
                     if k in counts:
                         sums[k] = v if k not in sums else sums[k] + v
                         counts[k] += 1
+
+            if profile_dir and epoch == 0 and 1 < steps_per_epoch <= 1 + profile_steps:
+                try:  # epoch too short to hit the stop step above
+                    jax.profiler.stop_trace()
+                    self.log(f"profiler trace written to {profile_dir}")
+                except Exception:
+                    pass
 
             means = {
                 k: (float(sums[k]) / counts[k] if counts[k] else float("nan"))

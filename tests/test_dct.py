@@ -67,3 +67,20 @@ def test_measured_bitstream():
     assert len(data) > 0
     measured = codec.measured_bpp(np.asarray(sym[0]), (64, 64))
     assert 0 < measured < 24  # less than raw RGB
+
+
+def test_stream_encode_decode_roundtrip():
+    """Self-contained bitstream: encode_stream -> decode_stream equals the
+    codec's roundtrip reconstruction exactly."""
+    img = jnp.asarray(synthetic_images(1, (64, 64), seed=9)[0])
+    codec = dct_mod.DCTCodec(DCTCodecConfig(quality=60, use_pallas=False))
+    stream = codec.encode_stream(img)
+    decoded = codec.decode_stream(stream)
+    rec, _ = codec.roundtrip(img[None])
+    np.testing.assert_allclose(np.asarray(decoded), np.asarray(rec[0]), atol=1e-5)
+    # decode guards
+    with pytest.raises(ValueError):
+        codec.decode_stream(b"\x09" + stream[1:])
+    other = dct_mod.DCTCodec(DCTCodecConfig(quality=90, use_pallas=False))
+    with pytest.raises(ValueError):
+        other.decode_stream(stream)
