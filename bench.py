@@ -146,6 +146,38 @@ def main():
         lambda _, x: dct.roundtrip(x)[0], jnp.zeros(()), imgs32, batch, iters
     )
 
+    # ---------------- GAN training step (reference scale, fp32, batch 16) ----
+    print("bench: train-step...", file=sys.stderr, flush=True)
+    from contextual_image_compression_tpu.config import TrainConfig
+    from contextual_image_compression_tpu.train.gan_trainer import Batch, GANStepBuilder
+
+    tb = 16  # reference batch (GAN_train.py:32)
+    tcfg = TrainConfig(use_perceptual=False, batch_size=tb)
+    builder = GANStepBuilder(tcfg)
+    state = builder.init_state(jax.random.PRNGKey(0), batch_size=tb)
+    tbatch = Batch(
+        image=jnp.asarray(images_np[:tb]),
+        mask=jnp.full((tb, 256, 256, 1), 0.5, jnp.float32),
+        bpp=jnp.full((tb, 1), 1.0, jnp.float32),
+    )
+    step_with_d, _ = builder.jitted_steps(donate=False)
+
+    def timed_train(n):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, m = step_with_d(s, tbatch)
+        float(m["g_loss"])
+        return time.perf_counter() - t0
+
+    timed_train(1)
+    t1 = min(timed_train(1) for _ in range(2))
+    tn = timed_train(max(5, iters // 4))
+    n = max(5, iters // 4)
+    details["gan_train_step_256_b16_img_per_sec"] = tb / max(
+        (tn - t1) / (n - 1), 1e-9
+    )
+
     with open(Path(__file__).resolve().parent / "BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 

@@ -198,3 +198,26 @@ def test_broadcast_quirk_mode(batch):
     )
     np.testing.assert_allclose(float(quirk), expected_quirk, rtol=1e-5)
     assert abs(float(quirk) - float(fixed)) > 0 or np.allclose(fm, fm[0])
+
+
+def test_reference_faithful_mode_trains(batch):
+    """All reference-faithful flags together: frozen BN, zero-grad quantizer,
+    (B,B) broadcast losses -- 2 steps run finite and update params."""
+    cfg = dataclasses.replace(
+        CFG,
+        model=dataclasses.replace(
+            TINY, quantizer=QuantizerConfig(use_pallas=False, grad_mode="reference")
+        ),
+        loss=dataclasses.replace(CFG.loss, reference_broadcast_quirk=True),
+    )
+    builder = GANStepBuilder(cfg, bn_mode="frozen")
+    state = builder.init_state(jax.random.PRNGKey(1), batch_size=4)
+    step_d, step_nd = builder.jitted_steps(donate=False)
+    s1, m1 = step_d(state, batch)
+    s2, m2 = step_nd(s1, batch)
+    for k, v in {**m1, **m2}.items():
+        assert np.isfinite(float(v)), k
+    # generators still learn (through skips; the latent path is dead by design)
+    before = jax.tree.leaves(state.codec_vars["hq_generator"]["params"])
+    after = jax.tree.leaves(s2.codec_vars["hq_generator"]["params"])
+    assert any(bool(jnp.any(a != b)) for a, b in zip(before, after))
