@@ -37,6 +37,7 @@ from contextual_image_compression_tpu.ops import metrics as metric_ops
 @dataclasses.dataclass
 class CodecEvaluator:
     cfg: EvalConfig = EvalConfig()
+    mesh: Optional[object] = None  # jax.sharding.Mesh for data-parallel eval
 
     def __post_init__(self):
         self.codec = AdaptiveCodec(self.cfg.model)
@@ -47,6 +48,20 @@ class CodecEvaluator:
         )
         self._metrics = jax.jit(metric_ops.gan_metrics)
 
+    def _place_variables(self, variables):
+        if self.mesh is None:
+            return variables
+        from contextual_image_compression_tpu.parallel import sharding as shard_lib
+
+        return shard_lib.shard_state(variables, self.mesh)
+
+    def _place_batch(self, tree):
+        if self.mesh is None:
+            return tree
+        from contextual_image_compression_tpu.parallel import sharding as shard_lib
+
+        return shard_lib.shard_batch(tree, self.mesh)
+
     # ------------------------------------------------------------------ load
     def load_models(self, model_dir: Optional[str] = None, rng_seed: int = 0):
         """Load codec components with the reference's fallback ladder
@@ -54,7 +69,7 @@ class CodecEvaluator:
         store = CheckpointStore(model_dir or self.cfg.model_dir)
         templates = self.codec.init(jax.random.PRNGKey(rng_seed), batch_size=1)
         variables, provenance = store.load_components(templates)
-        return variables, provenance
+        return self._place_variables(variables), provenance
 
     # ------------------------------------------------------------- inference
     def run_batch(
@@ -75,9 +90,9 @@ class CodecEvaluator:
                 pad = bs - n
                 img_np = np.concatenate([img_np, np.repeat(img_np[-1:], pad, 0)])
                 mask_np = np.concatenate([mask_np, np.repeat(mask_np[-1:], pad, 0)])
-            img = jnp.asarray(img_np)
-            bpp_arr = jnp.full((bs, 1), bpp, img.dtype)
-            out = self._apply(variables, img, jnp.asarray(mask_np), bpp_arr)
+            img = self._place_batch(jnp.asarray(img_np))
+            bpp_arr = self._place_batch(jnp.full((bs, 1), bpp, img.dtype))
+            out = self._apply(variables, img, self._place_batch(jnp.asarray(mask_np)), bpp_arr)
             if n < bs:
                 out = jax.tree.map(lambda x: x[:n], out)
             outs.append(out)

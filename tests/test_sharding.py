@@ -81,3 +81,24 @@ def test_sharded_step_matches_replicated(eight_devices, batch):
         np.testing.assert_allclose(
             float(m_sharded[k]), float(m_ref[k]), atol=2e-4, err_msg=k
         )
+
+
+def test_evaluator_on_mesh(eight_devices, batch):
+    """Data-parallel evaluation: sharded evaluator matches the single-device one."""
+    from contextual_image_compression_tpu.config import EvalConfig
+    from contextual_image_compression_tpu.eval.harness import CodecEvaluator
+    import numpy as np
+
+    ecfg = EvalConfig(model=TINY, batch_size=8, model_dir="/nonexistent")
+    ev_single = CodecEvaluator(ecfg)
+    variables, _ = ev_single.load_models()
+    images = np.asarray(batch.image)
+    masks = np.asarray(batch.mask)
+    r_single = ev_single.compress_and_reconstruct(variables, images, masks, 1.0)
+
+    mesh = create_mesh(model_parallel=2)
+    ev_mesh = CodecEvaluator(ecfg, mesh=mesh)
+    variables_m, _ = ev_mesh.load_models()
+    r_mesh = ev_mesh.compress_and_reconstruct(variables_m, images, masks, 1.0)
+    np.testing.assert_allclose(r_mesh["psnr"], r_single["psnr"], atol=1e-3)
+    np.testing.assert_allclose(r_mesh["hq_ratio"], r_single["hq_ratio"], atol=1e-5)
