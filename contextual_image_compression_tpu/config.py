@@ -9,7 +9,7 @@ reference's canonical values so a default-constructed config reproduces its expe
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ BPP_RANGE per sample (reference: GAN_train.py:95-126). Here:
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ import numpy as np
 
 from contextual_image_compression_tpu.config import SaliencyConfig
 from contextual_image_compression_tpu.ops import masks as mask_ops
-from contextual_image_compression_tpu.ops import saliency as saliency_ops
 from contextual_image_compression_tpu.train.gan_trainer import Batch
 
 

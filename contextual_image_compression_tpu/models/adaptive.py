@@ -30,7 +30,7 @@ Forward dataflow (reference: GAN_functions.py:604-710, and SURVEY.md section 3.4
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ BatchNormalization(momentum=0.99, epsilon=1e-3); flax defaults differ
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ None exactly like the reference's `use_perceptual_loss = False`.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -34,14 +34,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from contextual_image_compression_tpu.config import LossConfig, ModelConfig, TrainConfig
+from contextual_image_compression_tpu.config import TrainConfig
 from contextual_image_compression_tpu.models.adaptive import (
     GENERATOR_COMPONENTS,
     LATENT_SALIENCY_COMPONENTS,

@@ -10,7 +10,7 @@ LossConfig.reference_broadcast_quirk is set; the default is per-sample semantics
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
