@@ -227,6 +227,7 @@ class GANTrainer:
                 self.save(f"epoch_{self.start_epoch + epoch + 1}")
 
         self.save("final")
+        self._join_saver()  # final checkpoint must be durable before returning
         if artifacts:
             plots.plot_final_losses(
                 self.history, os.path.join(cfg.results_dir, "final_loss_history.png")
@@ -300,12 +301,23 @@ class GANTrainer:
         return results
 
     # ------------------------------------------------------------ checkpoints
-    def save(self, tag: str):
-        components = dict(self.state.codec_vars)
-        components["discriminator"] = self.state.disc_vars
-        self.store.save_components(components, tag)
-        self.store.save_component(
-            "optimizers",
+    def save(self, tag: str, blocking: bool = False):
+        """Checkpoint the full train state.
+
+        Non-blocking by default: the state is snapshotted with a fast device-side
+        copy (the training steps DONATE their input state, so the live buffers
+        cannot be handed to a background reader), then the slow device->host
+        transfer + serialization runs on a writer thread while training
+        continues. The reference has no analogue (its Keras saves block,
+        GAN_train.py:547-581); on remote-TPU runtimes a blocking save of the
+        ~2.4 GB state costs minutes per save point.
+        """
+        import threading
+
+        # device-side snapshot (HBM->HBM, milliseconds)
+        snapshot = jax.tree.map(jnp.copy, (
+            self.state.codec_vars,
+            self.state.disc_vars,
             {
                 "g_opt": self.state.g_opt,
                 "ls_opt": self.state.ls_opt,
@@ -313,10 +325,30 @@ class GANTrainer:
                 "d_opt": self.state.d_opt,
                 "step": self.state.step,
             },
-            tag,
-        )
+        ))
         epoch = len(self.history["g_loss"]) + getattr(self, "start_epoch", 0)
-        self.store.save_metadata({"epoch": epoch, "history": self.history}, tag)
+        history = {k: list(v) for k, v in self.history.items()}
+
+        def write():
+            codec_vars, disc_vars, opts = snapshot
+            components = dict(codec_vars)
+            components["discriminator"] = disc_vars
+            self.store.save_components(components, tag)
+            self.store.save_component("optimizers", opts, tag)
+            self.store.save_metadata({"epoch": epoch, "history": history}, tag)
+
+        if blocking:
+            write()
+            return
+        self._join_saver()
+        self._saver = threading.Thread(target=write, name=f"ckpt-{tag}", daemon=False)
+        self._saver.start()
+
+    def _join_saver(self):
+        saver = getattr(self, "_saver", None)
+        if saver is not None and saver.is_alive():
+            saver.join()
+        self._saver = None
 
 
 def train_full_reference_flow(
