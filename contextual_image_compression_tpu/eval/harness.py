@@ -31,7 +31,11 @@ from contextual_image_compression_tpu.data import images as image_io
 from contextual_image_compression_tpu.data.pipeline import prepare_masks
 from contextual_image_compression_tpu.eval import plots
 from contextual_image_compression_tpu.models.adaptive import AdaptiveCodec
+from contextual_image_compression_tpu.ops import bitstream
 from contextual_image_compression_tpu.ops import metrics as metric_ops
+
+# The reference's bit-allocation visualization bpps (GAN_functions.py:835).
+_VIS_BPPS = (0.1, 1.0, 2.0)
 
 
 @dataclasses.dataclass
@@ -105,7 +109,7 @@ class CodecEvaluator:
         (GAN_test.py:265-340): returns arrays over the image axis."""
         mcfg = self.cfg.model
         all_metrics = {"psnr": [], "ssim": [], "mse": []}
-        compressed, allocations, hq_ratios = [], [], []
+        compressed, allocations, hq_ratios, measured = [], [], [], []
         offset = 0
         for out in self.run_batch(variables, images, masks, target_bpp):
             n = out.blended.shape[0]
@@ -116,6 +120,19 @@ class CodecEvaluator:
             compressed.append(np.asarray(out.blended))
             allocations.append(np.asarray(out.dynamic_threshold))
             hq_ratios.append(np.asarray(jnp.mean(out.dynamic_threshold, axis=(1, 2, 3))))
+            # REAL bitstream sizes next to the reference's analytic accounting
+            # (GAN_test.py:314-325 is analytic only): serialize the quantized
+            # latents through the entropy coder at each image's quantizer grid
+            # scale exp(coeff*q*(1-s)) (GAN_functions.py:436-441).
+            qs = np.asarray(out.quant_strength)[:, 0]
+            coeff = mcfg.quantizer.scale_coeff
+            hq_scales = np.exp(coeff * qs * (1.0 - np.asarray(out.hq_saliency_quant)[:, 0]))
+            lq_scales = np.exp(coeff * qs * (1.0 - np.asarray(out.lq_saliency_quant)[:, 0]))
+            streams = bitstream.pack_codec_latents(
+                np.asarray(out.hq_latent_q), np.asarray(out.lq_latent_q),
+                hq_scales, lq_scales,
+            )
+            measured.append(bitstream.measured_bpp(streams, mcfg.img_size))
 
         hq_ratio = np.concatenate(hq_ratios)
         actual_bpp = np.asarray(
@@ -132,6 +149,7 @@ class CodecEvaluator:
             "hq_ratio": hq_ratio,
             "lq_ratio": 1.0 - hq_ratio,
             "actual_bpp": actual_bpp,
+            "measured_bpp": np.concatenate(measured),
             "compression_ratio": original_bits / np.maximum(total_bits, 1e-9),
         }
 
@@ -160,6 +178,7 @@ class CodecEvaluator:
                 "mse": list(map(float, r["mse"])),
                 "compression_ratio": list(map(float, r["compression_ratio"])),
                 "actual_bpp": list(map(float, r["actual_bpp"])),
+                "measured_bpp": list(map(float, r["measured_bpp"])),
                 "hq_ratio": list(map(float, r["hq_ratio"])),
             }
             avg_metrics[bpp] = {
@@ -203,6 +222,7 @@ class CodecEvaluator:
             f.write(f"Average MSE: {avg['mse']:.6f}\n")
             f.write(f"Average Compression Ratio: {avg['compression_ratio']:.2f}x\n")
             f.write(f"Average Actual BPP: {avg['actual_bpp']:.4f}\n")
+            f.write(f"Average Measured BPP (real bitstream): {avg['measured_bpp']:.4f}\n")
             f.write(f"Average HQ Region Ratio: {avg['hq_ratio'] * 100:.2f}%\n\n")
             f.write("Image-by-image metrics:\n")
             for i, name in enumerate(file_names):
@@ -212,6 +232,7 @@ class CodecEvaluator:
                 f.write(f"  MSE: {per_image['mse'][i]:.6f}\n")
                 f.write(f"  Compression Ratio: {per_image['compression_ratio'][i]:.2f}x\n")
                 f.write(f"  Actual BPP: {per_image['actual_bpp'][i]:.4f}\n")
+                f.write(f"  Measured BPP: {per_image['measured_bpp'][i]:.4f}\n")
                 f.write(f"  HQ Region Ratio: {per_image['hq_ratio'][i] * 100:.2f}%\n")
 
     # ----------------------------------------------------------- rate control
@@ -243,8 +264,17 @@ class CodecEvaluator:
                 results["actual_bpp"].append(float(r["actual_bpp"][i]))
                 results["hq_ratio"].append(float(r["hq_ratio"][i]))
                 results["image"].append(sub_names[i])
-                if float(bpp) in (0.1, 1.0, 2.0):
+                if float(bpp) in _VIS_BPPS:
                     allocations_per_image[i][float(bpp)] = r["bit_allocation"][i]
+        # The reference renders bit-allocation panels at exactly {0.1, 1.0, 2.0}
+        # (GAN_functions.py:835); the linspace sweep only contains the endpoints,
+        # so run any missing panel bpps explicitly.
+        if save_artifacts:
+            for bpp in _VIS_BPPS:
+                if any(bpp not in allocations_per_image[i] for i in range(k)):
+                    r = self.compress_and_reconstruct(variables, sub_images, sub_masks, bpp)
+                    for i in range(k):
+                        allocations_per_image[i][bpp] = r["bit_allocation"][i]
 
         if save_artifacts:
             rc_dir = os.path.join(results_dir, "rate_control_test")

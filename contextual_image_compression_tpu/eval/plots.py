@@ -165,9 +165,12 @@ def plot_rate_distortion_curve(
 
     with open(os.path.join(results_dir, "rate_distortion_data.csv"), "w", newline="") as f:
         writer = csv.writer(f)
-        writer.writerow(["Target BPP", "Actual BPP", "PSNR", "SSIM", "HQ Ratio (%)"])
+        writer.writerow(
+            ["Target BPP", "Actual BPP", "Measured BPP", "PSNR", "SSIM", "HQ Ratio (%)"]
+        )
         for i, b in enumerate(bitrates):
-            writer.writerow([b, actual[i], psnrs[i], ssims[i], hq[i]])
+            measured = avg_metrics[b].get("measured_bpp", float("nan"))
+            writer.writerow([b, actual[i], measured, psnrs[i], ssims[i], hq[i]])
 
 
 _COLORS = ["b", "r", "g", "c", "m", "y", "k"]

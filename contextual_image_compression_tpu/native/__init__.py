@@ -46,15 +46,25 @@ def _build() -> Optional[str]:
     return _LIB_PATH if ok else None
 
 
+def _is_fresh(lib_path: str, src_path: str) -> bool:
+    """A prebuilt .so is used only if it is newer than its source -- editing the
+    C++ must never silently keep running a stale binary."""
+    try:
+        return os.path.getmtime(lib_path) >= os.path.getmtime(src_path)
+    except OSError:
+        return False
+
+
 def load() -> Optional[ctypes.CDLL]:
-    """The bound library, building it on first use; None if unavailable."""
+    """The bound library, building it on first use (or when the source is newer
+    than the cached .so); None if unavailable."""
     global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
         if _build_failed:
             return None
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        path = _LIB_PATH if _is_fresh(_LIB_PATH, _SRC) else _build()
         if path is None:
             _build_failed = True
             return None
@@ -73,6 +83,11 @@ def load() -> Optional[ctypes.CDLL]:
         lib.cic_entropy_encode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.cic_entropy_decode_batch.restype = ctypes.c_size_t
+        lib.cic_entropy_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -135,15 +150,23 @@ def entropy_encode_batch(symbols: np.ndarray, num_threads: int = 0) -> bytes:
     return out[:n].tobytes()
 
 
-def entropy_decode_batch(data: bytes, batch: int, n_per_item: int) -> np.ndarray:
-    """Inverse of entropy_encode_batch."""
+def entropy_decode_batch(data: bytes, batch: int, n_per_item: int,
+                         num_threads: int = 0) -> np.ndarray:
+    """Inverse of entropy_encode_batch, multithreaded in C++."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native entropy coder unavailable")
+    if num_threads <= 0:
+        num_threads = min(16, os.cpu_count() or 1)
+    inp = np.frombuffer(data, np.uint8)
     out = np.empty((batch, n_per_item), np.int16)
-    view = memoryview(data)
-    offset = 0
-    for b in range(batch):
-        length = int(np.frombuffer(view[offset : offset + 4], np.uint32)[0])
-        out[b] = entropy_decode(bytes(view[offset + 4 : offset + 4 + length]), n_per_item)
-        offset += 4 + length
+    got = lib.cic_entropy_decode_batch(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), inp.size,
+        batch, n_per_item,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), num_threads,
+    )
+    if got != batch:
+        raise RuntimeError(f"entropy batch decode: {got}/{batch} items decoded")
     return out
 
 
@@ -158,7 +181,7 @@ def load_loader() -> Optional[ctypes.CDLL]:
             return _loader_lib
         if _loader_build_failed:
             return None
-        if not os.path.exists(_LOADER_LIB_PATH):
+        if not _is_fresh(_LOADER_LIB_PATH, _LOADER_SRC):
             ok = _run_build([
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                 "-o", _LOADER_LIB_PATH, _LOADER_SRC, "-ljpeg", "-lpng",

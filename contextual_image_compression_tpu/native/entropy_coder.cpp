@@ -221,4 +221,51 @@ size_t cic_entropy_encode_batch(const int16_t* in, size_t batch,
   return offset;
 }
 
+// Threaded batch decode: inverse of cic_entropy_encode_batch. `in` holds `batch`
+// [uint32 length][bytes] frames; writes batch*n_per_item symbols to `out`.
+// Returns the number of items fully decoded (== batch on success; stops early on
+// a truncated frame or an out-of-range symbol).
+size_t cic_entropy_decode_batch(const uint8_t* in, size_t nbytes, size_t batch,
+                                size_t n_per_item, int16_t* out,
+                                int num_threads) {
+  // frame scan is sequential (lengths chain), decode is parallel
+  std::vector<std::pair<const uint8_t*, size_t>> frames;
+  frames.reserve(batch);
+  size_t offset = 0;
+  for (size_t b = 0; b < batch; ++b) {
+    if (offset + 4 > nbytes) return b;
+    uint32_t len;
+    std::memcpy(&len, in + offset, 4);
+    if (offset + 4 + len > nbytes) return b;
+    frames.emplace_back(in + offset + 4, (size_t)len);
+    offset += 4 + len;
+  }
+
+  if (num_threads < 1) num_threads = 1;
+  if ((size_t)num_threads > batch) num_threads = (int)batch;
+  std::atomic<size_t> next{0};
+  std::atomic<size_t> ok_items{0};
+  auto worker = [&]() {
+    for (;;) {
+      size_t b = next.fetch_add(1);
+      if (b >= batch) break;
+      Contexts ctx;
+      RangeDecoder dec(frames[b].first, frames[b].second);
+      int16_t* item = out + b * n_per_item;
+      bool ok = true;
+      for (size_t i = 0; i < n_per_item; ++i) {
+        int32_t v = decode_symbol(dec, ctx);
+        if (v < -32768 || v > 32767) { ok = false; break; }
+        item[i] = (int16_t)v;
+      }
+      if (ok) ok_items.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < num_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return ok_items.load();
+}
+
 }  // extern "C"

@@ -8,9 +8,12 @@ zlib fallback, and 'measured bpp' becomes a real quantity alongside the referenc
 analytic one.
 
 Latent stream layout per image (little-endian):
-  [uint8 version=1][float32 scale][uint32 n_symbols][uint32 payload_len][payload]
+  [uint8 version=2][uint8 coder][float32 scale][uint32 n_symbols][uint32 payload_len][payload]
 where symbols = round(latent * scale) as int16 and scale = exp(3*q*(1-s)) is the
-quantizer grid scale for this image (GAN_functions.py:436-446 semantics).
+quantizer grid scale for this image (GAN_functions.py:436-446 semantics). The coder
+byte records which entropy coder produced the payload (0 = zlib, 1 = native range
+coder) so a stream is decodable regardless of which coders are available where it
+is read -- decode dispatches on the header, never on local availability.
 """
 
 from __future__ import annotations
@@ -23,20 +26,32 @@ import numpy as np
 
 from contextual_image_compression_tpu import native
 
-_HEADER = struct.Struct("<BfII")
-_VERSION = 1
+_HEADER = struct.Struct("<BBfII")
+_VERSION = 2
+CODER_ZLIB = 0
+CODER_RANGE = 1
 
 
-def _encode_payload(symbols: np.ndarray) -> bytes:
+def _encode_payload(symbols: np.ndarray) -> Tuple[int, bytes]:
+    """Returns (coder_id, payload)."""
     if native.available():
-        return native.entropy_encode(symbols)
-    return zlib.compress(np.ascontiguousarray(symbols, np.int16).tobytes(), 6)
+        return CODER_RANGE, native.entropy_encode(symbols)
+    return CODER_ZLIB, zlib.compress(
+        np.ascontiguousarray(symbols, np.int16).tobytes(), 6
+    )
 
 
-def _decode_payload(payload: bytes, n: int) -> np.ndarray:
-    if native.available():
+def _decode_payload(payload: bytes, n: int, coder: int) -> np.ndarray:
+    if coder == CODER_RANGE:
+        if not native.available():
+            raise RuntimeError(
+                "stream was encoded with the native range coder, which is "
+                "unavailable here (no C++ toolchain?)"
+            )
         return native.entropy_decode(payload, n)
-    return np.frombuffer(zlib.decompress(payload), np.int16)[:n].copy()
+    if coder == CODER_ZLIB:
+        return np.frombuffer(zlib.decompress(payload), np.int16)[:n].copy()
+    raise ValueError(f"unknown entropy coder id {coder}")
 
 
 def pack_latent(latent: np.ndarray, scale: float) -> bytes:
@@ -44,16 +59,19 @@ def pack_latent(latent: np.ndarray, scale: float) -> bytes:
     `latent` may be the pre- or post-quantization latent; symbols are
     round(latent*scale) either way (idempotent on the quantized latent)."""
     symbols = np.clip(np.round(latent * scale), -32768, 32767).astype(np.int16)
-    payload = _encode_payload(symbols)
-    return _HEADER.pack(_VERSION, float(scale), symbols.size, len(payload)) + payload
+    coder, payload = _encode_payload(symbols)
+    return (
+        _HEADER.pack(_VERSION, coder, float(scale), symbols.size, len(payload))
+        + payload
+    )
 
 
 def unpack_latent(stream: bytes) -> Tuple[np.ndarray, float]:
     """Returns (dequantized latent float32, scale)."""
-    version, scale, n, plen = _HEADER.unpack_from(stream, 0)
+    version, coder, scale, n, plen = _HEADER.unpack_from(stream, 0)
     if version != _VERSION:
         raise ValueError(f"unknown bitstream version {version}")
-    symbols = _decode_payload(stream[_HEADER.size : _HEADER.size + plen], n)
+    symbols = _decode_payload(stream[_HEADER.size : _HEADER.size + plen], n, coder)
     return symbols.astype(np.float32) / scale, scale
 
 

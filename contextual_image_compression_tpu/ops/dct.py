@@ -258,7 +258,11 @@ class DCTCodec:
         return {"reconstruction": rec, "symbols": sym, "bpp": bpp}
 
     # ----------------------------------------------------------- real stream
-    _STREAM_HEADER = "<BBHH"  # version, quality, height, width
+    # version, coder (0=zlib, 1=native range coder), quality, height, width.
+    # The coder byte makes streams self-contained: decode dispatches on the
+    # header, not on which coders happen to be available where it is read.
+    _STREAM_HEADER = "<BBBHH"
+    _STREAM_VERSION = 2
 
     def encode_stream(self, image: jnp.ndarray) -> bytes:
         """Encode ONE (H, W, 3) [-1,1] image to a self-contained decodable
@@ -269,8 +273,10 @@ class DCTCodec:
         rec, sym = self.roundtrip(image[None])
         del rec
         h, w = image.shape[0], image.shape[1]
-        payload = self.serialize(np.asarray(sym[0]))
-        return struct.pack(self._STREAM_HEADER, 1, self.cfg.quality, h, w) + payload
+        coder, payload = self._serialize_tagged(np.asarray(sym[0]))
+        return struct.pack(
+            self._STREAM_HEADER, self._STREAM_VERSION, coder, self.cfg.quality, h, w
+        ) + payload
 
     def decode_stream(self, data: bytes) -> jnp.ndarray:
         """Inverse of encode_stream: bitstream -> (H, W, 3) image in [-1,1]."""
@@ -280,8 +286,8 @@ class DCTCodec:
         from contextual_image_compression_tpu import native
 
         hdr = struct.calcsize(self._STREAM_HEADER)
-        version, quality, h, w = struct.unpack_from(self._STREAM_HEADER, data, 0)
-        if version != 1:
+        version, coder, quality, h, w = struct.unpack_from(self._STREAM_HEADER, data, 0)
+        if version != self._STREAM_VERSION:
             raise ValueError(f"unknown DCT stream version {version}")
         if quality != self.cfg.quality:
             raise ValueError(
@@ -289,10 +295,17 @@ class DCTCodec:
             )
         n = 3 * h * w
         payload = data[hdr:]
-        if native.available():
+        if coder == 1:
+            if not native.available():
+                raise RuntimeError(
+                    "stream was encoded with the native range coder, which is "
+                    "unavailable here"
+                )
             sym = native.entropy_decode(payload, n)
-        else:
+        elif coder == 0:
             sym = np.frombuffer(_zlib.decompress(payload), np.int16)[:n]
+        else:
+            raise ValueError(f"unknown entropy coder id {coder}")
         sym = jnp.asarray(sym.astype(np.float32)).reshape(3 * (h // 8), 8, w)
         qstrips = self._qtable_strips(1, 3, h, w)
         deq_strips = sym * qstrips
@@ -307,16 +320,20 @@ class DCTCodec:
         return rec[0]
 
     @staticmethod
-    def serialize(symbols: np.ndarray) -> bytes:
-        """A real bitstream: the native C++ adaptive range coder when available
+    def _serialize_tagged(symbols: np.ndarray) -> Tuple[int, bytes]:
+        """(coder_id, payload): the native C++ adaptive range coder when available
         (within ~1% of the order-0 entropy bound), zlib otherwise. The reference
         never serializes at all; this provides an honest measured-size option."""
         from contextual_image_compression_tpu import native
 
         s = np.clip(np.asarray(symbols), -32768, 32767).astype(np.int16)
         if native.available():
-            return native.entropy_encode(s.ravel())
-        return zlib.compress(s.tobytes(), level=6)
+            return 1, native.entropy_encode(s.ravel())
+        return 0, zlib.compress(s.tobytes(), level=6)
+
+    @staticmethod
+    def serialize(symbols: np.ndarray) -> bytes:
+        return DCTCodec._serialize_tagged(symbols)[1]
 
     @staticmethod
     def measured_bpp(symbols: np.ndarray, hw: Tuple[int, int]) -> float:

@@ -83,8 +83,15 @@ class GANStepBuilder:
     vgg: Optional[VGG19Features] = None
     vgg_vars: Optional[dict] = None
     bn_mode: str = "train"  # 'train' | 'frozen' (reference-faithful)
+    # Discriminator BN mode, separately controllable: the reference's D always runs
+    # with inference-mode BN on never-updated moving stats (GAN_train.py:198-224 calls
+    # it without training=True), which keeps D weak and the adversarial game near
+    # equilibrium (d_loss ~ 0.69). 'frozen' reproduces that; None follows bn_mode.
+    disc_bn_mode: Optional[str] = None
 
     def __post_init__(self):
+        if self.disc_bn_mode is None:
+            self.disc_bn_mode = self.bn_mode
         if self.codec is None:
             self.codec = AdaptiveCodec(self.cfg.model)
         self.disc = self.codec.discriminator()
@@ -134,9 +141,9 @@ class GANStepBuilder:
 
     def _disc_apply(self, disc_vars, x):
         # The reference calls the discriminator without training=True, i.e. BN in
-        # inference mode; with bn_mode='train' we use batch stats (mutable handled
-        # by callers that need the updates).
-        if self.bn_mode == "train":
+        # inference mode; with disc_bn_mode='train' we use batch stats (mutable
+        # handled by callers that need the updates).
+        if self.disc_bn_mode == "train":
             out, mut = self.disc.apply(disc_vars, x, train=True, mutable=["batch_stats"])
             return out, mut["batch_stats"]
         return self.disc.apply(disc_vars, x, train=False), disc_vars.get("batch_stats")

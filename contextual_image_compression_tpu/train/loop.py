@@ -55,6 +55,7 @@ class GANTrainer:
         cfg: TrainConfig,
         mesh=None,
         bn_mode: str = "train",
+        disc_bn_mode: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         nan_guard: bool = False,
     ):
@@ -80,7 +81,9 @@ class GANTrainer:
                 self.log(
                     "WARNING: no VGG19 weights available -- perceptual loss disabled"
                 )
-        self.builder = GANStepBuilder(cfg, vgg=vgg, vgg_vars=vgg_vars, bn_mode=bn_mode)
+        self.builder = GANStepBuilder(
+            cfg, vgg=vgg, vgg_vars=vgg_vars, bn_mode=bn_mode, disc_bn_mode=disc_bn_mode
+        )
         self.codec = self.builder.codec
         self.disc = self.builder.disc
         self.step_with_d, self.step_without_d = self.builder.jitted_steps()
@@ -97,11 +100,30 @@ class GANTrainer:
         if resume:
             templates = dict(state.codec_vars)
             templates["discriminator"] = state.disc_vars
+            templates["optimizers"] = {
+                "g_opt": state.g_opt,
+                "ls_opt": state.ls_opt,
+                "rd_opt": state.rd_opt,
+                "d_opt": state.d_opt,
+                "step": state.step,
+            }
             loaded, provenance = self.store.load_components(templates)
             if any(p != "init" for p in provenance.values()):
                 self.log(f"Restored components: {provenance}")
                 disc_vars = loaded.pop("discriminator")
+                opts = loaded.pop("optimizers")
                 state = state.replace(codec_vars=loaded, disc_vars=disc_vars)
+                if provenance["optimizers"] != "init":
+                    # Resume must also restore the 4 Adam states + step, or the
+                    # moments silently reinitialize (beyond-reference capability:
+                    # the reference saves weights only, GAN_train.py:547-581).
+                    state = state.replace(
+                        g_opt=opts["g_opt"],
+                        ls_opt=opts["ls_opt"],
+                        rd_opt=opts["rd_opt"],
+                        d_opt=opts["d_opt"],
+                        step=jnp.asarray(opts["step"], jnp.int32),
+                    )
                 meta = self.store.latest_metadata()
                 if meta:
                     self.start_epoch = int(meta.get("epoch", 0))
@@ -208,11 +230,14 @@ class GANTrainer:
             }
             for k in HISTORY_KEYS:
                 self.history[k].append(means[k])
+            # Global epoch number = total history length (restored history already
+            # includes pre-resume epochs, so start_epoch must NOT be added again).
+            epoch_label = len(self.history["g_loss"])
 
             dt = time.time() - t0
             ips = n_images / dt if dt > 0 else float("nan")
             self.log(
-                f"Epoch {self.start_epoch + epoch + 1}: "
+                f"Epoch {epoch_label}: "
                 f"D {means['d_loss']:.4f}, G {means['g_loss']:.4f}, "
                 f"Recon {means['reconstruction_loss']:.4f}, RD {means['rd_loss']:.4f}, "
                 f"LS {means['latent_saliency_loss']:.4f} "
@@ -220,11 +245,9 @@ class GANTrainer:
             )
 
             if artifacts:
-                self._epoch_artifacts(
-                    self.start_epoch + epoch + 1, sample_batch, samples_dir
-                )
+                self._epoch_artifacts(epoch_label, sample_batch, samples_dir)
             if (epoch + 1) % cfg.checkpoint_every == 0 or epoch + 1 == epochs:
-                self.save(f"epoch_{self.start_epoch + epoch + 1}")
+                self.save(f"epoch_{epoch_label}")
 
         self.save("final")
         self._join_saver()  # final checkpoint must be durable before returning
@@ -326,7 +349,8 @@ class GANTrainer:
                 "step": self.state.step,
             },
         ))
-        epoch = len(self.history["g_loss"]) + getattr(self, "start_epoch", 0)
+        # History length IS the global epoch count (it includes restored epochs).
+        epoch = len(self.history["g_loss"])
         history = {k: list(v) for k, v in self.history.items()}
 
         def write():

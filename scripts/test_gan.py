@@ -19,6 +19,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--test-dir", default="test_dataset")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic-rich", action="store_true",
+                   help="use the diverse synthetic corpus (held-out seed)")
     p.add_argument("--model-dir", default="models_ckpt")
     p.add_argument("--results-dir", default="test_results")
     p.add_argument("--img-size", type=int, default=None)
@@ -49,7 +51,9 @@ def main():
     print(f"Loaded components: {provenance}")
 
     if args.synthetic:
-        images = image_io.synthetic_images(args.synthetic, mcfg.img_size, args.seed)
+        gen = (image_io.rich_synthetic_images if args.synthetic_rich
+               else image_io.synthetic_images)
+        images = gen(args.synthetic, mcfg.img_size, args.seed)
         file_names = [f"synthetic_{i}.png" for i in range(len(images))]
     else:
         images, file_names, _ = image_io.load_folder_gan(args.test_dir, mcfg.img_size)

@@ -33,6 +33,14 @@ def main():
     p.add_argument("--no-perceptual", action="store_true")
     p.add_argument("--quant-grad-mode", choices=["ste", "reference"], default="ste")
     p.add_argument("--bn-mode", choices=["train", "frozen"], default="train")
+    p.add_argument("--disc-bn-mode", choices=["train", "frozen"], default=None,
+                   help="discriminator BN mode; default follows --bn-mode. The "
+                   "reference's D effectively runs frozen (GAN_train.py:198-224)")
+    p.add_argument("--broadcast-quirk", action="store_true",
+                   help="reproduce the reference's (B,B) TF broadcast in the "
+                   "latent-saliency and bitrate losses (GAN_train.py:307-335)")
+    p.add_argument("--synthetic-rich", action="store_true",
+                   help="use the diverse synthetic corpus for --synthetic")
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--no-fine-tune", action="store_true",
                    help="skip the per-bpp fine-tuning phase")
@@ -42,7 +50,7 @@ def main():
     args = p.parse_args()
 
     from contextual_image_compression_tpu.config import (
-        ModelConfig, QuantizerConfig, TrainConfig,
+        LossConfig, ModelConfig, QuantizerConfig, TrainConfig,
     )
     from contextual_image_compression_tpu.data import images as image_io
     from contextual_image_compression_tpu.data.pipeline import (
@@ -65,7 +73,8 @@ def main():
 
     cfg = TrainConfig(model=mcfg, seed=args.seed,
                       vgg_weights_path=args.vgg_weights,
-                      use_perceptual=not args.no_perceptual)
+                      use_perceptual=not args.no_perceptual,
+                      loss=LossConfig(reference_broadcast_quirk=args.broadcast_quirk))
     overrides = {}
     for field, val in [("epochs", args.epochs), ("batch_size", args.batch_size),
                        ("learning_rate", args.learning_rate),
@@ -77,8 +86,11 @@ def main():
         cfg = dataclasses.replace(cfg, **overrides)
 
     if args.synthetic:
-        images = image_io.synthetic_images(args.synthetic, mcfg.img_size, args.seed)
-        print(f"Using {len(images)} synthetic images")
+        gen = (image_io.rich_synthetic_images if args.synthetic_rich
+               else image_io.synthetic_images)
+        images = gen(args.synthetic, mcfg.img_size, args.seed)
+        print(f"Using {len(images)} synthetic images"
+              + (" (rich corpus)" if args.synthetic_rich else ""))
     else:
         images, _, _ = image_io.load_folder_gan(
             args.data_dir, mcfg.img_size, args.max_images
@@ -100,7 +112,8 @@ def main():
         mesh = create_mesh(model_parallel=args.model_parallel)
         print(f"Mesh: {dict(mesh.shape)}")
 
-    trainer = GANTrainer(cfg, mesh=mesh, bn_mode=args.bn_mode)
+    trainer = GANTrainer(cfg, mesh=mesh, bn_mode=args.bn_mode,
+                         disc_bn_mode=args.disc_bn_mode)
     trainer.init_state(resume=not args.no_resume)
     trainer.fit(dataset)
 

@@ -54,6 +54,60 @@ def test_batch_threaded(rng, have_native):
     np.testing.assert_array_equal(native.entropy_decode_batch(blob, 8, 4096), sym)
 
 
+def test_batch_decode_fuzz(rng, have_native):
+    """Fuzz the C++ batch decoder: random int16 streams of varied shapes and
+    distributions must roundtrip bit-exactly (VERDICT round 1, item 10)."""
+    if not have_native:
+        pytest.skip("no C++ toolchain")
+    for trial in range(20):
+        b = int(rng.randint(1, 12))
+        n = int(rng.randint(1, 3000))
+        kind = trial % 4
+        if kind == 0:
+            sym = rng.randint(-32768, 32768, size=(b, n)).astype(np.int16)
+        elif kind == 1:
+            sym = rng.laplace(0, rng.uniform(0.1, 50), size=(b, n)).astype(np.int16)
+        elif kind == 2:
+            sym = np.zeros((b, n), np.int16)
+        else:
+            sym = np.where(
+                rng.rand(b, n) < 0.05,
+                rng.randint(-32768, 32768, size=(b, n)),
+                0,
+            ).astype(np.int16)
+        blob = native.entropy_encode_batch(sym, num_threads=int(rng.randint(1, 8)))
+        out = native.entropy_decode_batch(blob, b, n, num_threads=int(rng.randint(1, 8)))
+        np.testing.assert_array_equal(out, sym)
+
+
+def test_batch_decode_rejects_truncated(rng, have_native):
+    if not have_native:
+        pytest.skip("no C++ toolchain")
+    sym = rng.laplace(0, 3, size=(4, 256)).astype(np.int16)
+    blob = native.entropy_encode_batch(sym)
+    with pytest.raises(RuntimeError, match="items decoded"):
+        native.entropy_decode_batch(blob[: len(blob) // 2], 4, 256)
+
+
+def test_coder_id_dispatch(rng, have_native, monkeypatch):
+    """A zlib-tagged stream decodes correctly even where the native coder exists,
+    and a range-coded stream read without the native coder errors clearly --
+    decode follows the header's coder byte, not local availability."""
+    latent = rng.randn(256).astype(np.float32) * 3
+    # force a zlib-coded stream
+    monkeypatch.setattr(native, "available", lambda: False)
+    stream_zlib = bitstream.pack_latent(latent, 4.0)
+    monkeypatch.undo()
+    deq, _ = bitstream.unpack_latent(stream_zlib)  # native may be available now
+    np.testing.assert_allclose(deq, np.round(latent * 4.0) / 4.0, atol=1e-5)
+
+    if have_native:
+        stream_rc = bitstream.pack_latent(latent, 4.0)
+        monkeypatch.setattr(native, "available", lambda: False)
+        with pytest.raises(RuntimeError, match="range coder"):
+            bitstream.unpack_latent(stream_rc)
+
+
 def test_latent_bitstream_roundtrip(rng):
     latent = rng.randn(512).astype(np.float32) * 3
     scale = bitstream.quantizer_scale(saliency_score=0.3, quant_strength=0.7)
