@@ -72,10 +72,20 @@ class CompressionDataset:
     target_bpp: Optional[float] = None
     seed: int = 42
     drop_remainder: bool = True
+    # Keep the whole corpus resident in device HBM and gather batches on device.
+    # On remote-TPU runtimes each host->device batch transfer costs a relay round
+    # trip (~16 MB/step at reference scale); with the corpus resident, the per-step
+    # upload is just the index vector + bpp column. Off by default (host RAM is
+    # the safe default for large corpora); scripts/train_gan.py enables it when
+    # the corpus fits comfortably in HBM.
+    device_resident: bool = False
 
     def __post_init__(self):
         assert len(self.images) == len(self.masks)
         self._rng = np.random.RandomState(self.seed)
+        if self.device_resident:
+            self._dev_images = jnp.asarray(self.images)
+            self._dev_masks = jnp.asarray(self.masks)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -99,11 +109,30 @@ class CompressionDataset:
                 )
             else:
                 bpp = np.full((len(sel), 1), self.target_bpp, np.float32)
-            yield Batch(
-                image=jnp.asarray(self.images[sel]),
-                mask=jnp.asarray(self.masks[sel]),
-                bpp=jnp.asarray(bpp),
-            )
+            if self.device_resident:
+                sel_dev = jnp.asarray(sel)
+                yield Batch(
+                    image=jnp.take(self._dev_images, sel_dev, axis=0),
+                    mask=jnp.take(self._dev_masks, sel_dev, axis=0),
+                    bpp=jnp.asarray(bpp),
+                )
+            else:
+                yield Batch(
+                    image=jnp.asarray(self.images[sel]),
+                    mask=jnp.asarray(self.masks[sel]),
+                    bpp=jnp.asarray(bpp),
+                )
+
+    def with_target_bpp(self, target_bpp: Optional[float]) -> "CompressionDataset":
+        """A view of this dataset with a fixed target bpp (fine-tune phase,
+        reference: GAN_train.py:684-691), sharing any device-resident arrays
+        instead of re-uploading the corpus."""
+        ds = dataclasses.replace(self, target_bpp=target_bpp, device_resident=False)
+        ds.device_resident = self.device_resident
+        if self.device_resident:
+            ds._dev_images = self._dev_images
+            ds._dev_masks = self._dev_masks
+        return ds
 
     def first_samples(self, k: int = 4) -> Batch:
         """Deterministic sample batch for per-epoch visualization

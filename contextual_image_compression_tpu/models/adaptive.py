@@ -221,6 +221,13 @@ class AdaptiveCodec:
         Returns (CodecOutput, batch_stats updates {component: dict} when train).
         """
         cfg = self.cfg
+        # Inputs compute in the configured dtype (bf16 under mixed precision /
+        # bf16 inference). Without this the fp32 mask keeps the threshold/blend
+        # epilogue -- and everything downstream -- in fp32.
+        ct = jnp.dtype(cfg.dtype)
+        img = img.astype(ct)
+        mask = mask.astype(ct)
+        target_bpp = target_bpp.astype(ct)
         updates: Dict[str, Any] = {}
 
         def run(name, module, *args, has_bn=True, method=None):

@@ -87,7 +87,27 @@ def load_vgg19_params(weights_path: str) -> Optional[dict]:
 
 def load_vgg19_features(weights_path: str):
     """Returns (module, variables) or None (=> perceptual loss disabled, mirroring the
-    reference's fallback at GAN_train.py:187-195)."""
+    reference's fallback at GAN_train.py:187-195).
+
+    weights_path accepts:
+      * a path to an .npz from scripts/convert_vgg_weights.py (ImageNet weights);
+      * 'random' or 'random:<seed>' -- a fixed-seed randomly-initialized VGG19.
+        Random conv features are a usable perceptual metric when pretrained
+        weights are unavailable (no-egress environments): the z-scored multi-layer
+        MSE of the reference's loss (GAN_train.py:256-287) only needs a fixed,
+        structure-rich feature basis, and random VGG features are an established
+        substitute (cf. 'A Powerful Generative Model Using Random Weights',
+        He et al. 2016). Clearly NOT ImageNet-equivalent; opt-in via
+        --vgg-weights random.
+    """
+    if weights_path and weights_path.split(":", 1)[0] == "random":
+        import jax
+
+        seed = int(weights_path.split(":", 1)[1]) if ":" in weights_path else 0
+        module = VGG19Features()
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = module.init(jax.random.PRNGKey(seed), dummy)
+        return module, variables
     variables = load_vgg19_params(weights_path)
     if variables is None:
         return None

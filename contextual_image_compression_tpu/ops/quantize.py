@@ -93,14 +93,19 @@ def _quant_bwd_ref_kernel(latent_ref, score_ref, strength_ref, coeff_ref, g_ref,
     """Reference-mode backward: d latent = 0 (handled outside);
     d scale = -round(latent*scale)/scale^2, chained to score and strength."""
     coeff = coeff_ref[0]
-    eff = strength_ref[:] * (1.0 - score_ref[:])
+    # compute in f32 regardless of storage dtype (mirrors the forward kernel's
+    # upcast -- the bf16 mixed-precision path feeds bf16 latents/grads through here)
+    strength = strength_ref[:].astype(jnp.float32)
+    score = score_ref[:].astype(jnp.float32)
+    eff = strength * (1.0 - score)
     scale = jnp.exp(coeff * eff)
-    rounded = jnp.round(latent_ref[:] * scale)
+    rounded = jnp.round(latent_ref[:].astype(jnp.float32) * scale)
     # dq/dscale per element, then chain rule: dscale/deff = coeff*scale.
-    g_scale = jnp.sum(g_ref[:] * (-rounded / (scale * scale)), axis=1, keepdims=True)
+    g = g_ref[:].astype(jnp.float32)
+    g_scale = jnp.sum(g * (-rounded / (scale * scale)), axis=1, keepdims=True)
     g_eff = g_scale * coeff * scale
-    dscore_ref[:] = g_eff * (-strength_ref[:])
-    dstrength_ref[:] = g_eff * (1.0 - score_ref[:])
+    dscore_ref[:] = (g_eff * (-strength)).astype(dscore_ref.dtype)
+    dstrength_ref[:] = (g_eff * (1.0 - score)).astype(dstrength_ref.dtype)
 
 
 def _pallas_quant_forward(latent, saliency_score, quant_strength, scale_coeff):

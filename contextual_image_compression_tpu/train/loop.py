@@ -87,6 +87,18 @@ class GANTrainer:
         self.codec = self.builder.codec
         self.disc = self.builder.disc
         self.step_with_d, self.step_without_d = self.builder.jitted_steps()
+        # Jitted inference/probe paths: un-jitted module.apply dispatches op-by-op,
+        # which on a remote-TPU relay costs minutes per epoch of artifacts.
+        def _eval_apply(v, img, mask, bpp):
+            return self.codec.apply(v, img, mask, bpp, train=False)[0]
+
+        def _hq_ratio(v, img, mask, bpp_scalar):
+            bpp = jnp.full((img.shape[0], 1), bpp_scalar)
+            out = _eval_apply(v, img, mask, bpp)
+            return jnp.mean(out.dynamic_threshold), out.dynamic_threshold
+
+        self._eval_apply = jax.jit(_eval_apply)
+        self._hq_ratio_grad = jax.jit(jax.value_and_grad(_hq_ratio, argnums=3, has_aux=True))
         self.store = CheckpointStore(cfg.model_dir)
         self.history: Dict[str, List[float]] = {k: [] for k in HISTORY_KEYS}
         self.state: Optional[GANTrainState] = None
@@ -259,10 +271,9 @@ class GANTrainer:
 
     # -------------------------------------------------------------- artifacts
     def _eval_codec(self, batch: Batch):
-        out, _ = self.codec.apply(
-            self.state.codec_vars, batch.image, batch.mask, batch.bpp, train=False
+        return self._eval_apply(
+            self.state.codec_vars, batch.image, batch.mask, batch.bpp
         )
-        return out
 
     def _epoch_artifacts(self, epoch: int, sample_batch: Batch, samples_dir: str):
         cfg = self.cfg
@@ -300,20 +311,14 @@ class GANTrainer:
         mask = sample_batch.mask[:1]
         vars_ = self.state.codec_vars
 
-        def hq_ratio(bpp_scalar):
-            bpp = jnp.full((1, 1), bpp_scalar)
-            out, _ = self.codec.apply(vars_, img, mask, bpp, train=False)
-            return jnp.mean(out.dynamic_threshold)
-
         results = []
         allocations = {}
         for bpp in (0.1, 1.0, 2.0):
-            ratio, grad = jax.value_and_grad(hq_ratio)(jnp.float32(bpp))
-            results.append((bpp, float(ratio), float(grad)))
-            out, _ = self.codec.apply(
-                vars_, img, mask, jnp.full((1, 1), bpp), train=False
+            (ratio, alloc), grad = self._hq_ratio_grad(
+                vars_, img, mask, jnp.float32(bpp)
             )
-            allocations[bpp] = np.asarray(out.dynamic_threshold[0])
+            results.append((bpp, float(ratio), float(grad)))
+            allocations[bpp] = np.asarray(alloc[0])
         self.log("Rate Control Gradient Test:")
         for bpp, ratio, grad in results:
             self.log(f"  BPP: {bpp}, HQ Ratio: {ratio:.4f}, Gradient: {grad:.6f}")
@@ -385,13 +390,7 @@ def train_full_reference_flow(
     trainer.fit(dataset)
     for target_bpp in cfg.bpp_range:
         log(f"Fine-tuning for target bitrate: {target_bpp} bpp...")
-        ds_bpp = CompressionDataset(
-            dataset.images,
-            dataset.masks,
-            batch_size=cfg.batch_size,
-            bpp_range=cfg.bpp_range,
-            target_bpp=float(target_bpp),
-            seed=cfg.seed,
+        trainer.fit(
+            dataset.with_target_bpp(float(target_bpp)), epochs=cfg.fine_tune_epochs
         )
-        trainer.fit(ds_bpp, epochs=cfg.fine_tune_epochs)
     return trainer

@@ -20,19 +20,28 @@ from contextual_image_compression_tpu.config import LossConfig
 _KERAS_EPS = 1e-7
 
 
+def _f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Losses always compute in float32: under mixed-precision (bf16) training the
+    clip eps 1e-7 is below bf16 resolution -- clip(p, eps, 1-eps) rounds back to
+    exactly 0/1 and log() returns -inf (the round-1 bf16 NaN source) -- and large
+    spatial means lose precision. Upcasting here keeps fp32 runs bit-identical."""
+    return jnp.asarray(x).astype(jnp.float32)
+
+
 def bce(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
     """Binary cross-entropy on probabilities, keras semantics (clip to
     [eps, 1-eps], mean over all elements)."""
-    p = jnp.clip(probs, _KERAS_EPS, 1.0 - _KERAS_EPS)
+    p = jnp.clip(_f32(probs), _KERAS_EPS, 1.0 - _KERAS_EPS)
+    labels = _f32(labels)
     return -jnp.mean(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
 
 
 def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((a - b) ** 2)
+    return jnp.mean((_f32(a) - _f32(b)) ** 2)
 
 
 def mae(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.abs(a - b))
+    return jnp.mean(jnp.abs(_f32(a) - _f32(b)))
 
 
 def discriminator_loss(
@@ -60,6 +69,7 @@ def perceptual_loss(
     (reference: GAN_train.py:256-287; z-scoring over the whole feature tensor)."""
     total = jnp.float32(0.0)
     for w, of, gf in zip(layer_weights, orig_feats, gen_feats):
+        of, gf = _f32(of), _f32(gf)
         o = (of - jnp.mean(of)) / (jnp.std(of) + 1e-8)
         g = (gf - jnp.mean(gf)) / (jnp.std(gf) + 1e-8)
         total = total + w * jnp.mean((o - g) ** 2)
@@ -74,7 +84,8 @@ def latent_saliency_loss(
 ) -> jnp.ndarray:
     """HQ score should match the mean mask value, LQ its complement
     (reference: GAN_train.py:296-309). hq_score/lq_score: (B,1); masks: (B,H,W,1)."""
-    flat_masks = jnp.mean(masks, axis=(1, 2, 3))  # (B,)
+    flat_masks = jnp.mean(_f32(masks), axis=(1, 2, 3))  # (B,)
+    hq_score, lq_score = _f32(hq_score), _f32(lq_score)
     if not cfg.reference_broadcast_quirk:
         flat_masks = flat_masks[:, None]  # (B,1): per-sample pairing
     # quirk mode: (B,1) - (B,) broadcasts to (B,B), the reference's TF behavior.
@@ -86,9 +97,9 @@ def latent_saliency_loss(
 def rd_loss(rd_params: jnp.ndarray, target_bpp: jnp.ndarray, cfg: LossConfig) -> jnp.ndarray:
     """MSE(rd_params[:,0], clip(1 - bpp/4, 0.1, 0.9)) (reference: GAN_train.py:311-318)."""
     target_compression = jnp.clip(
-        1.0 - target_bpp / cfg.rd_target_bpp_divisor, *cfg.rd_target_clip
+        1.0 - _f32(target_bpp) / cfg.rd_target_bpp_divisor, *cfg.rd_target_clip
     )  # (B,1)
-    actual = rd_params[:, 0:1]
+    actual = _f32(rd_params[:, 0:1])
     return jnp.mean((actual - target_compression) ** 2)
 
 
@@ -97,7 +108,7 @@ def analytic_bpp_from_allocation(
 ) -> jnp.ndarray:
     """hq_ratio = mean(bit_allocation); bits = hq*2D*32 + (1-hq)*D*32; bpp = bits/HW
     (reference: GAN_train.py:320-330). Returns (B,)."""
-    hq_ratio = jnp.mean(bit_allocation, axis=(1, 2, 3))
+    hq_ratio = jnp.mean(_f32(bit_allocation), axis=(1, 2, 3))
     hq_bits = hq_ratio * (base_latent_dim * 2) * 32.0
     lq_bits = (1.0 - hq_ratio) * base_latent_dim * 32.0
     return (hq_bits + lq_bits) / float(img_hw[0] * img_hw[1])
@@ -116,7 +127,7 @@ def bitrate_losses(
     penalty = relu(target - actual) * relu(target - 1) * 2
     """
     actual = analytic_bpp_from_allocation(bit_allocation, base_latent_dim, img_hw)  # (B,)
-    target = target_bpp  # (B,1)
+    target = _f32(target_bpp)  # (B,1)
     if not cfg.reference_broadcast_quirk:
         actual = actual[:, None]  # (B,1): per-sample pairing
     control = jnp.mean(jnp.abs(actual - target))

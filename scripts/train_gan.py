@@ -32,6 +32,9 @@ def main():
     p.add_argument("--vgg-weights", default="")
     p.add_argument("--no-perceptual", action="store_true")
     p.add_argument("--quant-grad-mode", choices=["ste", "reference"], default="ste")
+    p.add_argument("--precision", choices=["float32", "mixed"], default="float32",
+                   help="'mixed' = bfloat16 activations with float32 params, "
+                   "optimizer states, BN statistics, and losses")
     p.add_argument("--bn-mode", choices=["train", "frozen"], default="train")
     p.add_argument("--disc-bn-mode", choices=["train", "frozen"], default=None,
                    help="discriminator BN mode; default follows --bn-mode. The "
@@ -70,6 +73,8 @@ def main():
     mcfg = dataclasses.replace(
         mcfg, quantizer=QuantizerConfig(grad_mode=args.quant_grad_mode)
     )
+    if args.precision == "mixed":
+        mcfg = dataclasses.replace(mcfg, dtype="bfloat16", param_dtype="float32")
 
     cfg = TrainConfig(model=mcfg, seed=args.seed,
                       vgg_weights_path=args.vgg_weights,
@@ -102,9 +107,18 @@ def main():
 
     print("Computing saliency masks on device...")
     masks = prepare_masks(images, cfg.saliency)
+    import jax
+
+    # Keep the corpus in HBM when it fits (saves a ~16 MB relay upload per step).
+    corpus_bytes = images.nbytes + masks.nbytes * 1  # masks are (N,H,W,1)
+    device_resident = (
+        jax.default_backend() == "tpu" and corpus_bytes < 4 * 1024**3
+    )
+    if device_resident:
+        print(f"Corpus ({corpus_bytes / 2**20:.0f} MiB) kept device-resident")
     dataset = CompressionDataset(
         images, masks, batch_size=cfg.batch_size, bpp_range=cfg.bpp_range,
-        seed=cfg.seed,
+        seed=cfg.seed, device_resident=device_resident,
     )
 
     mesh = None
@@ -120,11 +134,10 @@ def main():
     if not args.no_fine_tune:
         for target_bpp in cfg.bpp_range:
             print(f"Fine-tuning for target bitrate: {target_bpp} bpp...")
-            ds_bpp = CompressionDataset(
-                images, masks, batch_size=cfg.batch_size,
-                bpp_range=cfg.bpp_range, target_bpp=float(target_bpp), seed=cfg.seed,
+            trainer.fit(
+                dataset.with_target_bpp(float(target_bpp)),
+                epochs=cfg.fine_tune_epochs,
             )
-            trainer.fit(ds_bpp, epochs=cfg.fine_tune_epochs)
     print("Training completed!")
     return 0
 

@@ -219,3 +219,23 @@ def test_trainer_loads_vgg_from_config(vgg_npz, tmp_path):
     trainer2 = GANTrainer(cfg_off, bn_mode="frozen", log_fn=logs2.append)
     assert trainer2.builder.vgg is None
     assert any("perceptual loss disabled" in m for m in logs2)
+
+
+def test_load_vgg19_random_seeded():
+    """'random:<seed>' gives a deterministic randomly-initialized VGG19 -- the
+    no-egress substitute that lets training log a nonzero perceptual loss."""
+    m1, v1 = load_vgg19_features("random:7")
+    m2, v2 = load_vgg19_features("random:7")
+    k1 = v1["params"]["block1_conv1"]["kernel"]
+    k2 = v2["params"]["block1_conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    _, v3 = load_vgg19_features("random:8")
+    assert not np.array_equal(
+        np.asarray(k1), np.asarray(v3["params"]["block1_conv1"]["kernel"])
+    )
+    taps = m1.apply(v1, jnp.ones((1, 32, 32, 3)))
+    assert len(taps) == 5 and all(bool(jnp.all(jnp.isfinite(t))) for t in taps)
+    # nonzero perceptual loss on distinct inputs
+    taps2 = m1.apply(v1, jnp.zeros((1, 32, 32, 3)))
+    val = L.perceptual_loss(taps, taps2, [0.1, 0.1, 0.2, 0.3, 0.3])
+    assert float(val) > 0.0
