@@ -342,6 +342,11 @@ class GANTrainer:
         """
         import threading
 
+        # Join the previous writer BEFORE snapshotting: two live snapshots of the
+        # ~5 GB train state (plus the state itself and a device-resident corpus)
+        # exceed one chip's HBM -- observed as RESOURCE_EXHAUSTED when the final
+        # save overlapped the last epoch-tagged save.
+        self._join_saver()
         # device-side snapshot (HBM->HBM, milliseconds)
         snapshot = jax.tree.map(jnp.copy, (
             self.state.codec_vars,
@@ -369,7 +374,6 @@ class GANTrainer:
         if blocking:
             write()
             return
-        self._join_saver()
         self._saver = threading.Thread(target=write, name=f"ckpt-{tag}", daemon=False)
         self._saver.start()
 

@@ -47,6 +47,13 @@ def main():
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--no-fine-tune", action="store_true",
                    help="skip the per-bpp fine-tuning phase")
+    p.add_argument("--fine-tune-only", action="store_true",
+                   help="skip the main training phase and run only the per-bpp "
+                   "fine-tuning (resumes from the latest checkpoint; use to "
+                   "finish an interrupted reference flow)")
+    p.add_argument("--fine-tune-bpps", default="",
+                   help="comma-separated target bpps for fine-tuning "
+                   "(default: the config bpp_range)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -129,10 +136,13 @@ def main():
     trainer = GANTrainer(cfg, mesh=mesh, bn_mode=args.bn_mode,
                          disc_bn_mode=args.disc_bn_mode)
     trainer.init_state(resume=not args.no_resume)
-    trainer.fit(dataset)
+    if not args.fine_tune_only:
+        trainer.fit(dataset)
 
     if not args.no_fine_tune:
-        for target_bpp in cfg.bpp_range:
+        ft_bpps = ([float(b) for b in args.fine_tune_bpps.split(",") if b]
+                   or list(cfg.bpp_range))
+        for target_bpp in ft_bpps:
             print(f"Fine-tuning for target bitrate: {target_bpp} bpp...")
             trainer.fit(
                 dataset.with_target_bpp(float(target_bpp)),
