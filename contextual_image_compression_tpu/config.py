@@ -97,6 +97,13 @@ class ModelConfig:
     # wastes compute -- so this stays off; the module is kept (tested) for
     # architectures where the tradeoff flips.
     generator_polyphase: bool = False
+    # MXU-packed lowering of the generator tail (deconv4 -> BN -> LeakyReLU ->
+    # out_conv -> tanh) for inference: the native tail runs its Cout=32 deconv at
+    # 25% and its Cout=3 conv at ~2.3% MXU lane utilization; the packed form
+    # (models/packed_tail.py) keeps all matmuls >= 48 lanes with identical
+    # numerics and checkpoint layout. Train-mode calls fall back to the native
+    # path (BatchNorm batch statistics need the pixel layout).
+    generator_packed_tail: bool = False
     leaky_slope: float = 0.2
     # Self-attention at 32x32x256 in the HQ encoder only (reference: GAN_functions.py:315-318)
     hq_attention: bool = True

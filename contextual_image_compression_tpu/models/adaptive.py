@@ -120,6 +120,7 @@ class AdaptiveCodec:
             base_ch=self.cfg.generator_base_ch,
             leaky_slope=self.cfg.leaky_slope,
             polyphase=self.cfg.generator_polyphase,
+            packed_tail=self.cfg.generator_packed_tail,
             **self._dt(),
         )
 

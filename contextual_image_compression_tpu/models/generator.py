@@ -17,12 +17,16 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from contextual_image_compression_tpu.models.layers import (
+    BNSurface,
+    ConvSurface,
+    ConvTSurface,
     KBatchNorm,
     KConv,
     KConvT,
     KDense,
     leaky_relu,
 )
+from contextual_image_compression_tpu.models.packed_tail import packed_tail_forward
 
 
 class Generator(nn.Module):
@@ -32,6 +36,9 @@ class Generator(nn.Module):
     base_ch: int = 512
     leaky_slope: float = 0.2
     polyphase: bool = False  # alt ConvTranspose lowering (same numerics; see config)
+    # MXU-packed lowering of deconv4+BN+LeakyReLU+out_conv+tanh (identical
+    # numerics and checkpoint layout; inference-only -- see models/packed_tail.py).
+    packed_tail: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -39,6 +46,7 @@ class Generator(nn.Module):
     def __call__(self, latent, skips, train: bool = True):
         skip1, skip2, skip3 = skips
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        use_packed = self.packed_tail and not train
 
         x = KDense(self.base_hw * self.base_hw * self.base_ch, name="fc", **dt)(latent)
         x = x.reshape(x.shape[0], self.base_hw, self.base_hw, self.base_ch)
@@ -46,12 +54,28 @@ class Generator(nn.Module):
         x = leaky_relu(x, self.leaky_slope)
 
         concat_skips = (skip3, skip2, skip1, None)
-        for i, (ch, skip) in enumerate(zip(self.channels, concat_skips)):
+        n_native = 3 if use_packed else len(self.channels)
+        for i, (ch, skip) in enumerate(zip(self.channels[:n_native], concat_skips)):
             x = KConvT(ch, 4, 2, polyphase=self.polyphase, name=f"deconv{i + 1}", **dt)(x)
             x = KBatchNorm(name=f"bn{i + 1}", **dt)(x, use_running_average=not train)
             x = leaky_relu(x, self.leaky_slope)
             if skip is not None:
                 x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+
+        if use_packed:
+            ch4 = self.channels[3]
+            k4, b4 = ConvTSurface(ch4, 4, self.param_dtype, name="deconv4")(x.shape[-1])
+            bn_scale, bn_bias, bn_mean, bn_var = BNSurface(
+                ch4, self.param_dtype, name="bn4"
+            )()
+            ko, bo = ConvSurface(self.out_channels, 4, self.param_dtype, name="out_conv")(ch4)
+            return packed_tail_forward(
+                x,
+                k4.astype(self.dtype), b4.astype(self.dtype),
+                bn_scale, bn_bias, bn_mean, bn_var,
+                ko, bo.astype(self.dtype),
+                bn_eps=1e-3, leaky_slope=self.leaky_slope,
+            )
 
         x = KConv(self.out_channels, 4, 1, name="out_conv", **dt)(x)
         return jnp.tanh(x)

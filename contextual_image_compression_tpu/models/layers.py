@@ -130,6 +130,97 @@ class KConvT(nn.Module):
         )(x)
 
 
+class _ConvTParamHolder(nn.Module):
+    """Declares nn.ConvTranspose's parameter surface (kernel/bias) WITHOUT
+    applying it, for lowerings that transform the weights (models/packed_tail.py).
+    Must be nested under the wrapper name so checkpoint paths match the native
+    module exactly (<wrapper>/ConvTranspose_0/{kernel,bias})."""
+
+    features: int
+    cin: int
+    kernel: int = 4
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", glorot,
+            (self.kernel, self.kernel, self.cin, self.features), self.param_dtype,
+        )
+        b = self.param("bias", zeros, (self.features,), self.param_dtype)
+        return k, b
+
+
+class ConvTSurface(nn.Module):
+    features: int
+    kernel: int = 4
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _ConvTParamHolder(
+            self.features, cin, self.kernel, self.param_dtype, name="ConvTranspose_0"
+        )()
+
+
+class _ConvParamHolder(nn.Module):
+    features: int
+    cin: int
+    kernel: int = 4
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", glorot,
+            (self.kernel, self.kernel, self.cin, self.features), self.param_dtype,
+        )
+        b = self.param("bias", zeros, (self.features,), self.param_dtype)
+        return k, b
+
+
+class ConvSurface(nn.Module):
+    """Parameter surface matching KConv's <name>/Conv_0/{kernel,bias}."""
+
+    features: int
+    kernel: int = 4
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _ConvParamHolder(
+            self.features, cin, self.kernel, self.param_dtype, name="Conv_0"
+        )()
+
+
+class _BNParamHolder(nn.Module):
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), self.param_dtype)
+        bias = self.param("bias", zeros, (self.features,), self.param_dtype)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class BNSurface(nn.Module):
+    """Parameter surface matching KBatchNorm's <name>/BatchNorm_0 params+stats."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _BNParamHolder(self.features, self.param_dtype, name="BatchNorm_0")()
+
+
 class KDense(nn.Module):
     features: int
     dtype: Dtype = jnp.float32

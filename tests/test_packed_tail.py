@@ -1,0 +1,149 @@
+"""MXU-packed generator tail (models/packed_tail.py).
+
+The packed lowering must be numerically identical (up to float reassociation)
+to the native deconv4 -> BN -> LeakyReLU -> out_conv -> tanh pixel-space path
+(reference semantics: GAN_functions.py:266-273), with the SAME parameter tree,
+so a trained checkpoint can be served through the packed path unchanged.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contextual_image_compression_tpu.models.generator import Generator
+from contextual_image_compression_tpu.models.packed_tail import (
+    deconv4x4s2_planar,
+    packed_conv4x4s1,
+    depth_to_space4,
+    planar_to_s2d4,
+    packed_tail_forward,
+)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+
+def test_deconv_planar_matches_convtranspose(rng):
+    x = _rand(rng, 2, 8, 8, 16)
+    k = _rand(rng, 4, 4, 16, 12) * 0.2
+    yall = deconv4x4s2_planar(x, k)
+    assert yall.shape == (2, 9, 9, 48)
+    # interleave the phases and compare against flax's ConvTranspose
+    z = np.zeros((2, 16, 16, 12), np.float32)
+    yn = np.asarray(yall)
+    for a in (0, 1):
+        for b in (0, 1):
+            slab = (a * 2 + b) * 12
+            z[:, a::2, b::2, :] = yn[:, a : 8 + a, b : 8 + b, slab : slab + 12]
+    ref = nn.ConvTranspose(12, (4, 4), strides=(2, 2), padding="SAME", use_bias=False)
+    y_ref = ref.apply({"params": {"kernel": k}}, x)
+    np.testing.assert_allclose(z, np.asarray(y_ref), atol=1e-4)
+
+
+def test_packed_out_conv_matches_conv(rng):
+    """planar -> s2d4 -> packed 4x4 conv -> d2s must equal the pixel-space
+    SAME conv of the interleaved deconv output."""
+    cin, cout = 8, 3
+    x = _rand(rng, 2, 8, 8, 16)
+    k4 = _rand(rng, 4, 4, 16, cin) * 0.2
+    ko = _rand(rng, 4, 4, cin, cout) * 0.2
+    bo = _rand(rng, cout)
+
+    yall = deconv4x4s2_planar(x, k4)
+    zs = planar_to_s2d4(yall, cin)
+    y_packed = depth_to_space4(packed_conv4x4s1(zs, ko, bo), cout)
+
+    # reference: interleave to pixels, then a plain SAME conv
+    z = np.zeros((2, 16, 16, cin), np.float32)
+    yn = np.asarray(yall)
+    for a in (0, 1):
+        for b in (0, 1):
+            slab = (a * 2 + b) * cin
+            z[:, a::2, b::2, :] = yn[:, a : 8 + a, b : 8 + b, slab : slab + cin]
+    conv = nn.Conv(cout, (4, 4), strides=(1, 1), padding="SAME")
+    y_ref = conv.apply({"params": {"kernel": ko, "bias": bo}}, jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_ref), atol=1e-4)
+
+
+def test_packed_tail_full_pipeline(rng):
+    cmid, cout = 8, 3
+    x = _rand(rng, 2, 8, 8, 16)
+    k4 = _rand(rng, 4, 4, 16, cmid) * 0.2
+    b4 = _rand(rng, cmid) * 0.1
+    ko = _rand(rng, 4, 4, cmid, cout) * 0.2
+    bo = _rand(rng, cout) * 0.1
+    scale = jnp.abs(_rand(rng, cmid)) + 0.5
+    bias = _rand(rng, cmid) * 0.1
+    mean = _rand(rng, cmid) * 0.1
+    var = jnp.abs(_rand(rng, cmid)) + 0.5
+
+    got = packed_tail_forward(x, k4, b4, scale, bias, mean, var, ko, bo)
+
+    dc = nn.ConvTranspose(cmid, (4, 4), strides=(2, 2), padding="SAME")
+    z = dc.apply({"params": {"kernel": k4, "bias": b4}}, x)
+    z = scale * (z - mean) * jax.lax.rsqrt(var + 1e-3) + bias
+    z = nn.leaky_relu(z, negative_slope=0.2)
+    conv = nn.Conv(cout, (4, 4), strides=(1, 1), padding="SAME")
+    want = jnp.tanh(conv.apply({"params": {"kernel": ko, "bias": bo}}, z))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_generator_packed_tail_equivalence(rng):
+    """Generator(packed_tail=True) at inference == native path, same param tree
+    (checkpoint-interchangeable)."""
+    lat = _rand(rng, 2, 64)
+    skips = (
+        _rand(rng, 2, 16, 16, 8),
+        _rand(rng, 2, 8, 8, 16),
+        _rand(rng, 2, 4, 4, 24),
+    )
+    g_packed = Generator(channels=(24, 16, 8, 8), base_hw=2, base_ch=32, packed_tail=True)
+    g_ref = Generator(channels=(24, 16, 8, 8), base_hw=2, base_ch=32)
+    v = g_ref.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    y_ref = g_ref.apply(v, lat, skips, train=False)
+    y_packed = g_packed.apply(v, lat, skips, train=False)
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_ref), atol=1e-5)
+    # init through the packed path must create the identical tree
+    v2 = g_packed.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2))
+    )
+
+
+def test_generator_packed_tail_train_mode_falls_back(rng):
+    """train=True must use the native path (BN batch stats) and mutate stats."""
+    lat = _rand(rng, 2, 64)
+    skips = (
+        _rand(rng, 2, 16, 16, 8),
+        _rand(rng, 2, 8, 8, 16),
+        _rand(rng, 2, 4, 4, 24),
+    )
+    g = Generator(channels=(24, 16, 8, 8), base_hw=2, base_ch=32, packed_tail=True)
+    v = g.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    y, mut = g.apply(v, lat, skips, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 32, 32, 3)
+    assert "bn4" in mut["batch_stats"]
+
+
+def test_generator_packed_tail_nonsquare_batch(rng):
+    """Full 256-scale shape smoke (single example, real channel sizes)."""
+    lat = _rand(rng, 1, 128)
+    skips = (
+        _rand(rng, 1, 128, 128, 64),
+        _rand(rng, 1, 64, 64, 128),
+        _rand(rng, 1, 32, 32, 256),
+    )
+    g_packed = Generator(packed_tail=True)
+    g_ref = Generator()
+    v = g_ref.init(jax.random.PRNGKey(1), lat, skips, train=False)
+    y_ref = g_ref.apply(v, lat, skips, train=False)
+    y_packed = g_packed.apply(v, lat, skips, train=False)
+    assert y_packed.shape == (1, 256, 256, 3)
+    np.testing.assert_allclose(
+        np.asarray(y_packed), np.asarray(y_ref), atol=3e-5
+    )
