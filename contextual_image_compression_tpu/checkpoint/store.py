@@ -58,9 +58,14 @@ class CheckpointStore:
 
     # ------------------------------------------------------------------- save
     def save_component(self, name: str, tree: Any, tag: str) -> str:
+        """Atomic write: serialize to a temp file, then rename over the target.
+        A writer that dies mid-save (OOM during the device->host transfer was
+        observed) must never truncate a previously good checkpoint."""
         path = self._path(name, tag)
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(flax.serialization.to_bytes(_to_host(tree)))
+        os.replace(tmp, path)
         return path
 
     def save_components(self, components: Dict[str, Any], tag: str) -> None:
@@ -68,8 +73,10 @@ class CheckpointStore:
             self.save_component(name, tree, tag)
 
     def save_metadata(self, meta: Dict[str, Any], tag: str) -> None:
-        with open(os.path.join(self.directory, f"metadata_{tag}.json"), "w") as f:
+        path = os.path.join(self.directory, f"metadata_{tag}.json")
+        with open(path + ".tmp", "w") as f:
             json.dump(meta, f)
+        os.replace(path + ".tmp", path)
 
     # ------------------------------------------------------------------- load
     def load_component(self, name: str, template: Any, tag: str) -> Any:
@@ -96,9 +103,12 @@ class CheckpointStore:
         provenance: Dict[str, str] = {}
         for name, template in templates.items():
             if self.has(name, prefer_tag):
-                out[name] = self.load_component(name, template, prefer_tag)
-                provenance[name] = prefer_tag
-                continue
+                try:
+                    out[name] = self.load_component(name, template, prefer_tag)
+                    provenance[name] = prefer_tag
+                    continue
+                except Exception as e:  # corrupted file: fall through to scan
+                    print(f"Failed to load {name} at {prefer_tag}: {e}")
             epochs = self.available_epochs(name)
             loaded = False
             for epoch in reversed(epochs):
