@@ -6,17 +6,25 @@ Pallas pass'): the jnp path performs ~130 full-image HBM passes (69 disk-masked
 bilateral taps + 62 separable Gaussian taps + reductions) per mask; at 256x256 a
 whole image is only 256 KB, so the kernel keeps it resident in VMEM and does all
 windowed arithmetic on-chip. Numerics match ops/masks.create_saliency_mask's
-smooth path exactly (same per-stage reflect padding), which itself matches cv2 to
-~1e-4 (reference: GAN_functions.py:198-203).
+smooth path (same per-stage reflect padding) to fp32 accumulation-order noise,
+which itself matches cv2 to ~1e-4 (reference: GAN_functions.py:198-203).
 
-Mosaic constraints shape the implementation:
+Mosaic constraints and measured costs shape the implementation:
   * lax.rev is not lowered -> reflect padding is built from statically-unrolled
     reversed slices;
-  * dynamic-offset vector loads are not lowered (neither lane nor sublane dim at
-    these shapes) -> all tap offsets are STATIC unrolls;
-  * a fully unrolled SSA accumulation chain keeps every tap's temporaries live and
-    blows the 16 MB VMEM scoped budget -> accumulators live in VMEM scratch refs,
-    with a store per tap bounding the live set to a handful of images.
+  * dynamic-offset vector loads are not lowered at these shapes -> all tap
+    offsets are STATIC unrolls;
+  * lane-offset (column-shifted) vector reads are the expensive primitive on
+    this VPU (measured: a lane-offset column-pass formulation was 30% slower
+    than transpose-trick column passes) -> the bilateral precomputes its 9
+    dx-shifted planes once (8 lane rotations total instead of 61 per-tap ones)
+    and separable column passes use the transpose trick;
+  * taps accumulate in SSA registers in chunks of 8 before each scratch-ref
+    flush: bounds both the live temporary set (a full SSA chain blew the 16 MB
+    scoped budget) and the accumulator's read-modify-write traffic;
+  * the bilateral range weight uses exp's 2nd-order Taylor: inputs are [0,1]
+    maps so |color_coeff*diff^2| <= ~8.9e-5 and the error (~1e-13) is far below
+    the cv2 parity tolerance, while the 69-tap loop runs FMAs only.
 """
 
 from __future__ import annotations
@@ -25,29 +33,16 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from contextual_image_compression_tpu.ops.image_ops import gaussian_kernel_1d
 
+_CHUNK = 8
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
-
-
-def _reflect_pad2(x: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """BORDER_REFLECT_101 on both axes (statically unrolled; no lax.rev)."""
-    h = x.shape[0]
-    rows = [x[i : i + 1, :] for i in range(pad, 0, -1)]
-    rows.append(x)
-    rows.extend(x[h - 1 - i : h - i, :] for i in range(1, pad + 1))
-    x = jnp.concatenate(rows, axis=0)
-    w = x.shape[1]
-    cols = [x[:, i : i + 1] for i in range(pad, 0, -1)]
-    cols.append(x)
-    cols.extend(x[:, w - 1 - i : w - i] for i in range(1, pad + 1))
-    return jnp.concatenate(cols, axis=1)
 
 
 def _reflect_pad_rows(x: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -59,51 +54,96 @@ def _reflect_pad_rows(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)
 
 
+def _reflect_pad_cols(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """BORDER_REFLECT_101 on the second axis only (statically unrolled)."""
+    w = x.shape[1]
+    cols = [x[:, i : i + 1] for i in range(pad, 0, -1)]
+    cols.append(x)
+    cols.extend(x[:, w - 1 - i : w - i] for i in range(1, pad + 1))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _reflect_pad2(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """BORDER_REFLECT_101 on both axes."""
+    return _reflect_pad_cols(_reflect_pad_rows(x, pad), pad)
+
+
+def _separable(src, weights, tr_ref, h, w, scale=None):
+    """Separable 2D filter on (h, w): each pass shifts along the sublane axis
+    of a row-padded scratch; the column pass transposes in and out (cheaper
+    than lane-offset reads on this VPU). `weights` is a static Python list;
+    taps accumulate chunked-SSA. Requires the scratch to fit both (h+2p, w)
+    and (w+2p, h)."""
+    k = len(weights)
+    pad = k // 2
+
+    def rows_pass(t, hh, ww):
+        outv = jnp.zeros((hh, ww), jnp.float32)
+        for c0 in range(0, k, _CHUNK):
+            acc = jnp.zeros((hh, ww), jnp.float32)
+            for i in range(c0, min(c0 + _CHUNK, k)):
+                acc = acc + weights[i] * t[i : i + hh, 0:ww]
+            outv = outv + acc
+        return outv
+
+    tr_ref[0 : h + 2 * pad, 0:w] = _reflect_pad_rows(src, pad)
+    rowout = rows_pass(tr_ref, h, w)
+    tr_ref[0 : w + 2 * pad, 0:h] = _reflect_pad_rows(rowout.T, pad)
+    out = rows_pass(tr_ref, w, h).T
+    if scale is not None:
+        out = out * scale
+    return out
+
+
+def _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff):
+    """Disk-masked bilateral with Taylor range kernel. xp_ref holds the
+    2D-reflect-padded input; xs_ref (2*radius+1, h+2*radius, w) caches the
+    dx-shifted planes so the 69-tap loop issues only cheap sublane-offset
+    reads (one lane rotation per dx instead of per tap)."""
+    xp_ref[:, :] = _reflect_pad2(x, radius)
+    for dx in range(-radius, radius + 1):
+        xs_ref[dx + radius] = xp_ref[:, dx + radius : dx + radius + w]
+    taps = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if dy * dy + dx * dx <= radius * radius  # cv2 disk mask
+    ]
+    num = jnp.zeros((h, w), jnp.float32)
+    den = jnp.zeros((h, w), jnp.float32)
+    for c0 in range(0, len(taps), _CHUNK):
+        acc_n = jnp.zeros((h, w), jnp.float32)
+        acc_d = jnp.zeros((h, w), jnp.float32)
+        for dy, dx in taps[c0 : c0 + _CHUNK]:
+            sw = math.exp(space_coeff * (dy * dy + dx * dx))
+            shifted = xs_ref[dx + radius, dy + radius : dy + radius + h, :]
+            diff = shifted - x
+            t = color_coeff * diff * diff
+            wgt = sw * (1.0 + t * (1.0 + 0.5 * t))  # exp Taylor, see module doc
+            acc_n = acc_n + wgt * shifted
+            acc_d = acc_d + wgt
+        num = num + acc_n
+        den = den + acc_d
+    return num / jnp.maximum(den, 1e-20)
+
+
+def _normalize_max(out):
+    mx = jnp.max(out)
+    return jnp.where(mx > 0, out / jnp.maximum(mx, 1e-12), out)
+
+
 def _make_kernel(h: int, w: int, d: int, sigma_color: float, sigma_space: float,
                  gauss_ksize: int):
     radius = d // 2
     color_coeff = -0.5 / (sigma_color * sigma_color)
     space_coeff = -0.5 / (sigma_space * sigma_space)
     gk = [float(v) for v in gaussian_kernel_1d(gauss_ksize, 0.0)]
-    gpad = gauss_ksize // 2
 
-    def kernel(x_ref, o_ref, xp_ref, num_ref, den_ref, t_ref):
+    def kernel(x_ref, o_ref, xp_ref, xs_ref, tr_ref):
         x = x_ref[0]  # (H, W)
-
-        # ---- bilateral(9, 75, 75), disk window, static taps, ref-accumulated
-        xp_ref[:, :] = _reflect_pad2(x, radius)
-        num_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        den_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                r2 = dy * dy + dx * dx
-                if r2 > radius * radius:  # cv2 disk mask
-                    continue
-                sw = math.exp(space_coeff * r2)
-                shifted = xp_ref[dy + radius : dy + radius + h,
-                                 dx + radius : dx + radius + w]
-                diff = shifted - x
-                wgt = sw * jnp.exp(color_coeff * diff * diff)
-                num_ref[:, :] = num_ref[:, :] + wgt * shifted
-                den_ref[:, :] = den_ref[:, :] + wgt
-        y = num_ref[:, :] / jnp.maximum(den_ref[:, :], 1e-20)
-
-        # ---- separable Gaussian 31x31 (sigma 5.0, cv2-derived), ref-accumulated
-        # rows
-        t_ref[0 : h + 2 * gpad, 0:w] = _reflect_pad_rows(y, gpad)
-        num_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        for i in range(gauss_ksize):
-            num_ref[:, :] = num_ref[:, :] + gk[i] * t_ref[i : i + h, 0:w]
-        # columns: transpose, same row trick, transpose back
-        t_ref[0 : w + 2 * gpad, 0:h] = _reflect_pad_rows(num_ref[:, :].T, gpad)
-        den_ref[:, :] = jnp.zeros((h, w), jnp.float32)  # reuse as (W,H)=(H,W) here
-        for i in range(gauss_ksize):
-            den_ref[:, :] = den_ref[:, :] + gk[i] * t_ref[i : i + w, 0:h]
-        out = den_ref[:, :].T
-
-        # ---- max-normalize (reference: GAN_functions.py:202-203) ------------
-        mx = jnp.max(out)
-        o_ref[0] = jnp.where(mx > 0, out / jnp.maximum(mx, 1e-12), out)
+        y = _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff)
+        out = _separable(y, gk, tr_ref, h, w)
+        o_ref[0] = _normalize_max(out)
 
     return kernel
 
@@ -119,72 +159,38 @@ def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
     color_coeff = -0.5 / (sigma_color * sigma_color)
     space_coeff = -0.5 / (sigma_space * sigma_space)
     gk = [float(v) for v in gaussian_kernel_1d(gauss_ksize, 0.0)]
-    gpad = gauss_ksize // 2
 
-    def box_mean(src, r, t_ref, acc_ref):
-        """(H, W) box mean with reflect padding, separable static unroll using
-        the transpose trick for the column pass."""
-        k = 2 * r + 1
-        t_ref[0 : h + 2 * r, 0:w] = _reflect_pad_rows(src, r)
-        acc_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        for i in range(k):
-            acc_ref[:, :] = acc_ref[:, :] + t_ref[i : i + h, 0:w]
-        t_ref[0 : w + 2 * r, 0:h] = _reflect_pad_rows(acc_ref[:, :].T, r)
-        acc_ref[:, :] = jnp.zeros((h, w), jnp.float32)  # holds (W, H); square-only
-        for i in range(k):
-            acc_ref[:, :] = acc_ref[:, :] + t_ref[i : i + w, 0:h]
-        return acc_ref[:, :].T / float(k * k)
-
-    def kernel(gray_ref, spec_ref, o_ref, xp_ref, num_ref, den_ref, t_ref):
+    def kernel(gray_ref, spec_ref, o_ref, xp_ref, xs_ref, tr_ref):
         g = gray_ref[0] / 255.0  # (H, W) in [0,1]
 
         # ---- fine-grained: center-surround on/off over box scales -----------
-        num_ref[:, :] = jnp.zeros((h, w), jnp.float32)  # on+off accumulator
+        fine = jnp.zeros((h, w), jnp.float32)
         for r in scales:
-            surround = box_mean(g, r, t_ref, den_ref)
-            num_ref[:, :] = num_ref[:, :] + jnp.abs(g - surround)
+            k = 2 * r + 1
+            surround = _separable(
+                g, [1.0] * k, tr_ref, h, w, scale=1.0 / (k * k)
+            )
             # |g - s| == relu(g-s) + relu(s-g): on+off in one op
-        fine = num_ref[:, :]
-        fmax = jnp.max(fine)
-        fine = jnp.where(fmax > 0, fine / jnp.maximum(fmax, 1e-12), fine)
+            fine = fine + jnp.abs(g - surround)
+        fine = _normalize_max(fine)
 
         # ---- combined = 0.6*spectral + 0.4*fine, max-normalized --------------
-        comb = spectral_weight * spec_ref[0] + fine_weight * fine
-        cmax = jnp.max(comb)
-        comb = jnp.where(cmax > 0, comb / jnp.maximum(cmax, 1e-12), comb)
+        comb = _normalize_max(spectral_weight * spec_ref[0] + fine_weight * fine)
 
-        # ---- bilateral(9, 75, 75) -------------------------------------------
-        xp_ref[:, :] = _reflect_pad2(comb, radius)
-        num_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        den_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                r2 = dy * dy + dx * dx
-                if r2 > radius * radius:
-                    continue
-                sw = math.exp(space_coeff * r2)
-                shifted = xp_ref[dy + radius : dy + radius + h,
-                                 dx + radius : dx + radius + w]
-                diff = shifted - comb
-                wgt = sw * jnp.exp(color_coeff * diff * diff)
-                num_ref[:, :] = num_ref[:, :] + wgt * shifted
-                den_ref[:, :] = den_ref[:, :] + wgt
-        y = num_ref[:, :] / jnp.maximum(den_ref[:, :], 1e-20)
-
-        # ---- Gaussian 31x31 + max-normalize ----------------------------------
-        t_ref[0 : h + 2 * gpad, 0:w] = _reflect_pad_rows(y, gpad)
-        num_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        for i in range(gauss_ksize):
-            num_ref[:, :] = num_ref[:, :] + gk[i] * t_ref[i : i + h, 0:w]
-        t_ref[0 : w + 2 * gpad, 0:h] = _reflect_pad_rows(num_ref[:, :].T, gpad)
-        den_ref[:, :] = jnp.zeros((h, w), jnp.float32)
-        for i in range(gauss_ksize):
-            den_ref[:, :] = den_ref[:, :] + gk[i] * t_ref[i : i + w, 0:h]
-        out = den_ref[:, :].T
-        mx = jnp.max(out)
-        o_ref[0] = jnp.where(mx > 0, out / jnp.maximum(mx, 1e-12), out)
+        # ---- bilateral(9, 75, 75) -> Gaussian 31x31 -> max-normalize ---------
+        y = _bilateral(comb, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff)
+        o_ref[0] = _normalize_max(_separable(y, gk, tr_ref, h, w))
 
     return kernel
+
+
+def _scratches(h: int, w: int, radius: int, gpad: int):
+    m = max(h, w)
+    return [
+        pltpu.VMEM((h + 2 * radius, w + 2 * radius), jnp.float32),  # xp
+        pltpu.VMEM((2 * radius + 1, h + 2 * radius, w), jnp.float32),  # dx planes
+        pltpu.VMEM((m + 2 * gpad, m), jnp.float32),  # rows-padded (both passes)
+    ]
 
 
 def contextual_mask_pallas(
@@ -199,11 +205,9 @@ def contextual_mask_pallas(
     gauss_ksize: int = 31,
 ) -> jnp.ndarray:
     """Fused fine-grained saliency + combine + smooth mask for (B, H, W) gray
-    images in [0,255] and precomputed (B, H, W) spectral maps. Square maps only.
+    images in [0,255] and precomputed (B, H, W) spectral maps.
     """
     b, h, w = gray255.shape
-    if h != w:
-        raise ValueError("contextual_mask_pallas requires square maps")
     radius = d // 2
     gpad = gauss_ksize // 2
     kernel = _make_contextual_kernel(
@@ -219,12 +223,7 @@ def contextual_mask_pallas(
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2 * radius, w + 2 * radius), jnp.float32),
-            pltpu.VMEM((h, w), jnp.float32),
-            pltpu.VMEM((h, w), jnp.float32),
-            pltpu.VMEM((max(h, w) + 2 * gpad, max(h, w)), jnp.float32),
-        ],
+        scratch_shapes=_scratches(h, w, radius, gpad),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -239,18 +238,11 @@ def smooth_mask_pallas(
     sigma_space: float = 75.0,
     gauss_ksize: int = 31,
 ) -> jnp.ndarray:
-    """Fused smooth mask for (B, H, W) saliency maps; interpret mode off-TPU.
-
-    Note: the transpose trick reuses a square scratch, so H == W is required
-    (both reference resolutions are square); non-square inputs fall back to the
-    jnp path in the caller.
-    """
+    """Fused smooth mask for (B, H, W) saliency maps; interpret mode off-TPU."""
     if saliency.ndim == 2:
         return smooth_mask_pallas(saliency[None], d, sigma_color, sigma_space,
                                   gauss_ksize)[0]
     b, h, w = saliency.shape
-    if h != w:
-        raise ValueError("smooth_mask_pallas requires square maps")
     radius = d // 2
     gpad = gauss_ksize // 2
     kernel = _make_kernel(h, w, d, sigma_color, sigma_space, gauss_ksize)
@@ -262,16 +254,11 @@ def smooth_mask_pallas(
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), saliency.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2 * radius, w + 2 * radius), jnp.float32),
-            pltpu.VMEM((h, w), jnp.float32),
-            pltpu.VMEM((h, w), jnp.float32),
-            pltpu.VMEM((max(h, w) + 2 * gpad, max(h, w)), jnp.float32),
-        ],
+        scratch_shapes=_scratches(h, w, radius, gpad),
         compiler_params=pltpu.CompilerParams(
-            # Mosaic stack-allocates the unrolled taps' temporaries (~33 MB at
-            # 256^2) without reuse; raise the scoped-vmem budget above the 16 MB
-            # default (v5e has 64+ MB of physical VMEM).
+            # Mosaic stack-allocates unrolled temporaries without full reuse;
+            # raise the scoped-vmem budget above the 16 MB default (v5e has
+            # 64+ MB of physical VMEM).
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=not _on_tpu(),

@@ -126,14 +126,17 @@ def bilateral_filter(
     d: int = 9,
     sigma_color: float = 75.0,
     sigma_space: float = 75.0,
+    unit_range: bool = False,
 ) -> jnp.ndarray:
     """Windowed bilateral filter on the last two axes, cv2.bilateralFilter semantics
     for float32 input (d x d neighborhood, gaussian space weight, gaussian range
     weight on intensity difference). Reference use: GAN_functions.py:134,200.
 
-    Note: the reference applies this to [0,1] saliency maps with sigma_color=75, which
-    makes the range kernel ~1 everywhere -- but we keep exact semantics so callers can
-    use real color sigmas too.
+    unit_range=True asserts |shifted - x| <= 1 (e.g. the reference's [0,1]
+    saliency maps): then |color_coeff * diff^2| <= 0.5/sigma_color^2 (~8.9e-5 at
+    sigma 75) and exp(t) is replaced by its 2nd-order Taylor 1 + t + t^2/2,
+    whose error (<|t|^3/6 ~ 1e-13) is far below the cv2 parity tolerance while
+    removing the transcendental from the VPU inner loop (two FMAs instead).
 
     The unrolled shift formulation below stays fully vectorized on the VPU: for a 9x9
     window it is 81 fused multiply-adds over the image, which XLA fuses into a single
@@ -163,7 +166,12 @@ def bilateral_filter(
             )
             space_w = math.exp(space_coeff * r2)
             diff = shifted - x
-            wgt = space_w * jnp.exp(color_coeff * diff * diff)
+            t = color_coeff * diff * diff
+            if unit_range:
+                range_w = 1.0 + t * (1.0 + 0.5 * t)
+            else:
+                range_w = jnp.exp(t)
+            wgt = space_w * range_w
             num = num + wgt * shifted
             den = den + wgt
     return num / jnp.maximum(den, 1e-20)

@@ -125,11 +125,14 @@ def create_saliency_mask(
                 sigma_space=cfg.mask_bilateral_sigma_space,
                 gauss_ksize=cfg.mask_gaussian_ksize,
             )
+        # saliency maps are max-normalized to [0,1] -> the Taylor range kernel
+        # matches exp to ~1e-13 (see bilateral_filter docstring)
         mask = iops.bilateral_filter(
             saliency_map,
             d=cfg.mask_bilateral_d,
             sigma_color=cfg.mask_bilateral_sigma_color,
             sigma_space=cfg.mask_bilateral_sigma_space,
+            unit_range=True,
         )
         mask = iops.gaussian_blur(mask, cfg.mask_gaussian_ksize, 0.0)
         return iops.normalize_max(mask)
@@ -148,12 +151,10 @@ def compute_contextual_mask(
     from contextual_image_compression_tpu.ops import saliency as saliency_ops
 
     cfg = config or SaliencyConfig()
-    square = images.ndim >= 3 and images.shape[-3] == images.shape[-2]
     if (
         cfg.mask_use_pallas
         and cfg.method == "combined"
         and cfg.mask_smooth
-        and square
         and jax.default_backend() == "tpu"
     ):
         from contextual_image_compression_tpu.ops.fused_mask import (

@@ -43,11 +43,13 @@ def test_contextual_mask_pallas_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def test_non_square_raises():
-    with pytest.raises(ValueError):
-        smooth_mask_pallas(jnp.zeros((1, 32, 64)))
-    with pytest.raises(ValueError):
-        contextual_mask_pallas(jnp.zeros((1, 32, 64)), jnp.zeros((1, 32, 64)))
+def test_non_square_supported(rng):
+    """The lane-offset column-pass formulation handles non-square maps (the
+    earlier transpose-scratch version was square-only)."""
+    sal = jnp.asarray(rng.rand(1, 32, 64).astype(np.float32))
+    got = smooth_mask_pallas(sal)
+    ref = masks.create_saliency_mask(sal, smooth=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
 def test_compute_contextual_mask_dispatches_to_jnp_off_tpu(rng):
