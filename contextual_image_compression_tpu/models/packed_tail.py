@@ -67,85 +67,67 @@ def tile_phases(v: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
     return jnp.tile(v, phases)
 
 
-def planar_to_s2d4(yall: jnp.ndarray, cout: int) -> jnp.ndarray:
-    """Phase-planar deconv output -> space-to-depth(4) of the SAME-padded pixels.
+def boundary_masks(h: int, cmid: int):
+    """Multiplicative masks zeroing the planar entries that fall outside the
+    virtual pixel tensor when the strided packed conv reads them.
 
-    yall: (B, H+1, W+1, 4*Cout) for a virtual pixel tensor z of (2H, 2W, Cout).
-    Returns zs (B, H/2+1, W/2+1, 16*Cout): the s2d(4) view of
-    z' = pad(z, ((1, 3), (1, 3))) -- the left/top-1 pad is the SAME padding of
-    the following 4x4/s1 conv, absorbed into the layout pass so that conv
-    becomes a 2x2 VALID conv over blocks. Packed channel (p, q, c) at block
-    (T, S) holds z'[4T+p, 4S+q, c].
-
-    Derivation: z'[t] = z[t-1]; z[2m+a] = yall[m+a] (slab a). With t = 4T+p:
-    a = (p+1) % 2 and the planar row index m+a = 2T + (p >= 2). Rows 2T+d,
-    d in {0,1} are exactly a space-to-depth(2) of yall padded by one row/col,
-    so the whole map is one s2d plus a static channel permutation; boundary
-    entries falling outside z (t=0 and t > 2H) are masked to the pad value 0.
+    The strided conv (packed_conv4x4s2_strided) reads yall row (m+a) for pixel
+    row 2m+a of the SAME-padded z'. The only planar entries it can reach that
+    correspond to out-of-range pixels are row 0 of the a=1 slabs (pixel -1) and
+    row H of the a=0 slabs (pixel 2H) -- every other out-of-range read lands in
+    the explicit zero pad. Same per column. Returns float32 (H+1, 4*C) row and
+    column masks to multiply into yall (they fuse into the BN epilogue).
     """
-    b, hp1, wp1, c4 = yall.shape
-    h = hp1 - 1  # deconv input height; virtual z is (2H, 2W)
-    assert c4 == 4 * cout and h % 2 == 0
-    nb = h // 2 + 1  # blocks per side
-
-    ypad = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0)))  # (B, H+2, W+2, 4C)
-    f2 = (
-        ypad.reshape(b, nb, 2, nb, 2, c4)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, nb, nb, 4 * c4)
-    )  # channel (dr, dc, slab(a,b), c)
-
-    perm = np.empty(16 * cout, np.int32)
-    for p in range(4):
-        for q in range(4):
-            dr, dc = int(p >= 2), int(q >= 2)
-            a, bb = (p + 1) % 2, (q + 1) % 2
-            src = ((dr * 2 + dc) * 4 + (a * 2 + bb)) * cout
-            dst = (p * 4 + q) * cout
-            perm[dst : dst + cout] = np.arange(src, src + cout, dtype=np.int32)
-    zs = f2[..., jnp.asarray(perm)]
-
-    # Zero the entries that are padding in z': row t=4T+p is valid iff
-    # 1 <= t <= 2H, i.e. NOT (T==0 and p==0) and NOT (T==nb-1 and p>=1).
-    rows_ok = np.ones((nb, 4), bool)
-    rows_ok[0, 0] = False
-    rows_ok[nb - 1, 1:] = False
-    row_mask = jnp.asarray(
-        np.repeat(rows_ok, 4 * cout, axis=1).reshape(1, nb, 1, 16 * cout)
-    )  # channel (p, q, c): repeat over (q, c)
-    col_ok = np.ones((nb, 4, 4, cout), bool)
-    col_ok[0, :, 0, :] = False
-    col_ok[nb - 1, :, 1:, :] = False
-    col_mask = jnp.asarray(col_ok.reshape(1, 1, nb, 16 * cout))
-    return jnp.where(row_mask & col_mask, zs, jnp.zeros((), zs.dtype))
+    c4 = 4 * cmid
+    row = np.ones((h + 1, c4), np.float32)
+    col = np.ones((h + 1, c4), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            s = (a * 2 + b) * cmid
+            if a == 1:
+                row[0, s : s + cmid] = 0.0
+            else:
+                row[h, s : s + cmid] = 0.0
+            if b == 1:
+                col[0, s : s + cmid] = 0.0
+            else:
+                col[h, s : s + cmid] = 0.0
+    return row, col
 
 
-def packed_conv4x4s1(zs: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
-    """4x4/s1 SAME conv evaluated in the s2d(4) packed domain.
+def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
+    """4x4/s1 SAME conv over the virtual pixels, as ONE stride-2 4x4 conv read
+    directly from the (boundary-masked) phase-planar tensor -- no layout pass.
 
-    zs: (B, NB, NB, 16*Cin) from planar_to_s2d4 (already left/top shifted, so
-    the conv is 2x2 VALID over blocks). kernel: (4, 4, Cin, Cout); returns the
-    packed output (B, NB-1, NB-1, 16*Cout) with channel layout (u, v, o).
+    yall: (B, H+1, W+1, 4*Cin) planar phases of z (2H, 2W, Cin), already
+    boundary-masked. kernel: (4, 4, Cin, Cout). Returns (B, H/2, W/2, 16*Cout)
+    with channel layout (u, v, o); depth_to_space4 restores pixels.
+
+    Derivation: the conv output at pixel (4T+u, 4S+v) reads z'[4T+u+dy, ...] =
+    z[4T+u+dy-1] = yall[row 2T + dyp, slab a] with a = (u+dy+1) % 2 and
+    dyp = (u+dy-1+a)/2; inverting, for each (dyp, a, u) there is at most one
+    valid tap dy = 2*dyp+1-a-u. So a 4x4 kernel over yall padded by one
+    row/col, applied with stride 2, covers every (T, u) at once.
     """
     cin, cout = kernel.shape[2], kernel.shape[3]
-    # w_blk[R,S][(p,q,c)][(u,v,o)] = kernel[4R+p-u, 4S+q-v, c, o] when the tap
-    # offset lands inside the 4x4 kernel; 0 otherwise. One vectorized gather.
-    idx = np.zeros((2, 4, 4), np.int32)  # [R, p, u] -> clipped dy
-    ok = np.zeros((2, 4, 4), bool)
-    for r in range(2):
-        for p in range(4):
+    idx = np.zeros((4, 2, 4), np.int32)  # [dyp, a, u] -> clipped dy
+    ok = np.zeros((4, 2, 4), bool)
+    for dyp in range(4):
+        for a in range(2):
             for u in range(4):
-                dy = 4 * r + p - u
-                ok[r, p, u] = 0 <= dy <= 3
-                idx[r, p, u] = min(max(dy, 0), 3)
+                dy = 2 * dyp + 1 - a - u
+                ok[dyp, a, u] = 0 <= dy <= 3
+                idx[dyp, a, u] = min(max(dy, 0), 3)
     dy_i = jnp.asarray(idx)[:, :, :, None, None, None]
     dx_i = jnp.asarray(idx)[None, None, None, :, :, :]
     mask = jnp.asarray(ok[:, :, :, None, None, None] & ok[None, None, None])
-    w = kernel[dy_i, dx_i]  # (R, p, u, S, q, v, Cin, Cout)
+    w = kernel[dy_i, dx_i]  # (dyp, a, u, dxp, b, v, Cin, Cout)
     w = jnp.where(mask[..., None, None], w, jnp.zeros((), kernel.dtype))
-    w_blk = w.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(2, 2, 16 * cin, 16 * cout)
+    # -> (dyp, dxp, a, b, Cin, u, v, Cout): in-channels slab-major like yall
+    w_str = w.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(4, 4, 4 * cin, 16 * cout)
+    ypad = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0)))
     y = jax.lax.conv_general_dilated(
-        zs, w_blk, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ypad, w_str, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
     return y + tile_phases(bias, 16).astype(y.dtype)
 
@@ -176,15 +158,25 @@ def packed_tail_forward(
     path (reference semantics: GAN_functions.py:266-273)."""
     cmid = deconv_kernel.shape[-1]
     cout = out_kernel.shape[-1]
-    yall = deconv4x4s2_planar(x, deconv_kernel)
-    yall = yall + tile_phases(deconv_bias).astype(yall.dtype)
+    # Fold BN (inference statistics) into the deconv weights and bias: the
+    # per-channel scale multiplies the kernel's output-channel axis at trace
+    # time, so no separate elementwise normalization pass exists at runtime.
     inv = jax.lax.rsqrt(bn_var.astype(jnp.float32) + bn_eps)
-    scale = (bn_scale.astype(jnp.float32) * inv).astype(yall.dtype)
+    scale = bn_scale.astype(jnp.float32) * inv
     shift = (
-        bn_bias.astype(jnp.float32) - bn_mean.astype(jnp.float32) * bn_scale.astype(jnp.float32) * inv
-    ).astype(yall.dtype)
-    yall = yall * tile_phases(scale) + tile_phases(shift)
+        bn_bias.astype(jnp.float32)
+        + (deconv_bias.astype(jnp.float32) - bn_mean.astype(jnp.float32)) * scale
+    )
+    folded_kernel = (deconv_kernel.astype(jnp.float32) * scale).astype(x.dtype)
+    yall = deconv4x4s2_planar(x, folded_kernel)
+    yall = yall + tile_phases(shift.astype(yall.dtype))
     yall = jnp.where(yall >= 0, yall, leaky_slope * yall)
-    zs = planar_to_s2d4(yall, cmid)
-    y = packed_conv4x4s1(zs, out_kernel.astype(zs.dtype), out_bias)
+    row_m, col_m = boundary_masks(x.shape[1], cmid)
+    yall = yall * jnp.asarray(row_m, yall.dtype)[None, :, None, :]
+    yall = yall * jnp.asarray(col_m, yall.dtype)[None, None, :, :]
+    # Materialize yall: without the barrier XLA fuses the producer deconv INTO
+    # the strided conv and recomputes it per output tile (measured 4.1 ms vs
+    # the two convs' ~2 ms separate).
+    yall = jax.lax.optimization_barrier(yall)
+    y = packed_conv4x4s2_strided(yall, out_kernel.astype(yall.dtype), out_bias)
     return depth_to_space4(jnp.tanh(y), cout)

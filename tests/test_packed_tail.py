@@ -14,10 +14,10 @@ import pytest
 
 from contextual_image_compression_tpu.models.generator import Generator
 from contextual_image_compression_tpu.models.packed_tail import (
+    boundary_masks,
     deconv4x4s2_planar,
-    packed_conv4x4s1,
     depth_to_space4,
-    planar_to_s2d4,
+    packed_conv4x4s2_strided,
     packed_tail_forward,
 )
 
@@ -44,8 +44,8 @@ def test_deconv_planar_matches_convtranspose(rng):
 
 
 def test_packed_out_conv_matches_conv(rng):
-    """planar -> s2d4 -> packed 4x4 conv -> d2s must equal the pixel-space
-    SAME conv of the interleaved deconv output."""
+    """masked planar -> strided packed 4x4 conv -> d2s must equal the
+    pixel-space SAME conv of the interleaved deconv output."""
     cin, cout = 8, 3
     x = _rand(rng, 2, 8, 8, 16)
     k4 = _rand(rng, 4, 4, 16, cin) * 0.2
@@ -53,8 +53,10 @@ def test_packed_out_conv_matches_conv(rng):
     bo = _rand(rng, cout)
 
     yall = deconv4x4s2_planar(x, k4)
-    zs = planar_to_s2d4(yall, cin)
-    y_packed = depth_to_space4(packed_conv4x4s1(zs, ko, bo), cout)
+    row_m, col_m = boundary_masks(8, cin)
+    yall = yall * jnp.asarray(row_m)[None, :, None, :]
+    yall = yall * jnp.asarray(col_m)[None, None, :, :]
+    y_packed = depth_to_space4(packed_conv4x4s2_strided(yall, ko, bo), cout)
 
     # reference: interleave to pixels, then a plain SAME conv
     z = np.zeros((2, 16, 16, cin), np.float32)
