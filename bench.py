@@ -97,17 +97,24 @@ def main():
     )
     bpp = jnp.ones((batch, 1), jnp.bfloat16)
 
-    def e2e_step(v, imgs):
-        mask = mask_ops.compute_contextual_mask(imgs, scfg)[..., None]
+    # Production wire format: uint8 RGB in, uint8 decoded image out. The mask
+    # engine consumes u8 exactly (gray255 from u8 == gray255 from the float
+    # pipeline); the codec gets its bf16 [-1,1] input by one cheap cast.
+    def e2e_step(v, imgs_u8):
+        mask = mask_ops.compute_contextual_mask(imgs_u8, scfg)[..., None]
+        img_bf = imgs_u8.astype(jnp.bfloat16) * (1.0 / 127.5) - 1.0
         out, _ = codec.apply(
-            v, imgs.astype(jnp.bfloat16), mask.astype(jnp.bfloat16),
-            bpp, train=False,
+            v, img_bf, mask.astype(jnp.bfloat16), bpp, train=False,
         )
-        return out.blended.astype(imgs.dtype)
+        decoded = (out.blended.astype(jnp.float32) + 1.0) * 127.5
+        return jnp.clip(jnp.round(decoded), 0, 255).astype(jnp.uint8)
 
+    imgs_u8 = jnp.asarray(
+        np.clip(np.round((images_np + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    )
     imgs32 = jnp.asarray(images_np)
     print("bench: e2e...", file=sys.stderr, flush=True)
-    e2e_ips = measure_images_per_sec(e2e_step, variables, imgs32, batch, iters)
+    e2e_ips = measure_images_per_sec(e2e_step, variables, imgs_u8, batch, iters)
     details["contextual_gan_codec_256_e2e_bf16"] = e2e_ips
     print(f"bench: e2e {e2e_ips:.0f} img/s", file=sys.stderr, flush=True)
 

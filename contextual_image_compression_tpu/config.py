@@ -104,6 +104,11 @@ class ModelConfig:
     # numerics and checkpoint layout. Train-mode calls fall back to the native
     # path (BatchNorm batch statistics need the pixel layout).
     generator_packed_tail: bool = False
+    # Batch the HQ+LQ encoders' first convs (same input image, no BN) into one
+    # full-lane conv at inference; exact up to accumulation order. Measured on
+    # v5e: the two half-output SLICES it feeds the encoders cost more than the
+    # saved conv pass (codec 4986 -> 4685 img/s at b128), so default off.
+    merge_first_conv: bool = False
     leaky_slope: float = 0.2
     # Self-attention at 32x32x256 in the HQ encoder only (reference: GAN_functions.py:315-318)
     hq_attention: bool = True

@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from contextual_image_compression_tpu.models.layers import KConv
-from contextual_image_compression_tpu.ops.attention import attention_core
+from contextual_image_compression_tpu.ops.attention import attention_block
 
 
 class SelfAttention(nn.Module):
@@ -35,8 +35,11 @@ class SelfAttention(nn.Module):
         k = k.reshape(b, h * w, inner)
         v = v.reshape(b, h * w, self.channels)
 
-        context = attention_core(q, k, v, use_pallas=self.use_pallas)
-        context = context.reshape(b, h, w, self.channels)
-
         gamma = self.param("gamma", nn.initializers.zeros, (1,), self.param_dtype)
-        return gamma.astype(x.dtype) * context + x
+        # gamma*context + x fused into the kernel's output write (saves the
+        # separate broadcast-multiply-add pass over the (B,HW,C) tensor)
+        out = attention_block(
+            q, k, v, x.reshape(b, h * w, c), gamma.astype(x.dtype)[0],
+            use_pallas=self.use_pallas,
+        )
+        return out.reshape(b, h, w, self.channels)

@@ -32,11 +32,24 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Polyphase tap split of a 4x4 stride-2 ConvTranspose kernel: output phase a
 # (row parity) uses kernel rows (0,2) when a==0 and (1,3) when a==1; likewise
 # for columns (derivation in models/layers.py::_PolyphaseConvT4x4s2).
 _PHASE_TAPS = {0: (0, 2), 1: (1, 3)}
+
+
+def deconv_wbig(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, Cin, Cout) ConvTranspose kernel -> (2, 2, Cin, 4*Cout) polyphase
+    tap-split kernel, slab-major (slab = a*2+b)."""
+    subs = []
+    for a in (0, 1):
+        for b in (0, 1):
+            sub = kernel[jnp.asarray(_PHASE_TAPS[a])][:, jnp.asarray(_PHASE_TAPS[b])]
+            subs.append(sub)  # (2, 2, Cin, Cout)
+    return jnp.concatenate(subs, axis=-1)
 
 
 def deconv4x4s2_planar(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -47,13 +60,7 @@ def deconv4x4s2_planar(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     slab k = a*2+b holds polyphase (a, b); the pixel-space output would be
     z[2i+a, 2j+b] = yall[i+a, j+b, slab(a, b)] (slices never materialized here).
     """
-    cout = kernel.shape[-1]
-    subs = []
-    for a in (0, 1):
-        for b in (0, 1):
-            sub = kernel[jnp.asarray(_PHASE_TAPS[a])][:, jnp.asarray(_PHASE_TAPS[b])]
-            subs.append(sub)  # (2, 2, Cin, Cout)
-    wbig = jnp.concatenate(subs, axis=-1)  # (2, 2, Cin, 4*Cout)
+    wbig = deconv_wbig(kernel)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return jax.lax.conv_general_dilated(
         xp, wbig, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
@@ -95,20 +102,11 @@ def boundary_masks(h: int, cmid: int):
     return row, col
 
 
-def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
-    """4x4/s1 SAME conv over the virtual pixels, as ONE stride-2 4x4 conv read
-    directly from the (boundary-masked) phase-planar tensor -- no layout pass.
-
-    yall: (B, H+1, W+1, 4*Cin) planar phases of z (2H, 2W, Cin), already
-    boundary-masked. kernel: (4, 4, Cin, Cout). Returns (B, H/2, W/2, 16*Cout)
-    with channel layout (u, v, o); depth_to_space4 restores pixels.
-
-    Derivation: the conv output at pixel (4T+u, 4S+v) reads z'[4T+u+dy, ...] =
-    z[4T+u+dy-1] = yall[row 2T + dyp, slab a] with a = (u+dy+1) % 2 and
-    dyp = (u+dy-1+a)/2; inverting, for each (dyp, a, u) there is at most one
-    valid tap dy = 2*dyp+1-a-u. So a 4x4 kernel over yall padded by one
-    row/col, applied with stride 2, covers every (T, u) at once.
-    """
+def strided_wstr(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, Cin, Cout) conv kernel -> (4, 4, 4*Cin, 16*Cout) strided packed
+    kernel: w_str[dyp, dxp, slab(a,b)*Cin+c, (u*4+v)*Cout+o] =
+    kernel[2*dyp+1-a-u, 2*dxp+1-b-v, c, o] where the tap offset is in range,
+    0 otherwise (see packed_conv4x4s2_strided's derivation)."""
     cin, cout = kernel.shape[2], kernel.shape[3]
     idx = np.zeros((4, 2, 4), np.int32)  # [dyp, a, u] -> clipped dy
     ok = np.zeros((4, 2, 4), bool)
@@ -124,12 +122,185 @@ def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.n
     w = kernel[dy_i, dx_i]  # (dyp, a, u, dxp, b, v, Cin, Cout)
     w = jnp.where(mask[..., None, None], w, jnp.zeros((), kernel.dtype))
     # -> (dyp, dxp, a, b, Cin, u, v, Cout): in-channels slab-major like yall
-    w_str = w.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(4, 4, 4 * cin, 16 * cout)
+    return w.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(4, 4, 4 * cin, 16 * cout)
+
+
+def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
+    """4x4/s1 SAME conv over the virtual pixels, as ONE stride-2 4x4 conv read
+    directly from the (boundary-masked) phase-planar tensor -- no layout pass.
+
+    yall: (B, H+1, W+1, 4*Cin) planar phases of z (2H, 2W, Cin), already
+    boundary-masked. kernel: (4, 4, Cin, Cout). Returns (B, H/2, W/2, 16*Cout)
+    with channel layout (u, v, o); depth_to_space4 restores pixels.
+
+    Derivation: the conv output at pixel (4T+u, 4S+v) reads z'[4T+u+dy, ...] =
+    z[4T+u+dy-1] = yall[row 2T + dyp, slab a] with a = (u+dy+1) % 2 and
+    dyp = (u+dy-1+a)/2; inverting, for each (dyp, a, u) there is at most one
+    valid tap dy = 2*dyp+1-a-u. So a 4x4 kernel over yall padded by one
+    row/col, applied with stride 2, covers every (T, u) at once.
+    """
+    w_str = strided_wstr(kernel)
     ypad = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0)))
     y = jax.lax.conv_general_dilated(
         ypad, w_str, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
     return y + tile_phases(bias, 16).astype(y.dtype)
+
+
+def fused_tail_pallas(
+    x: jnp.ndarray,
+    wbig: jnp.ndarray,
+    shift: jnp.ndarray,
+    w_str: jnp.ndarray,
+    out_bias16: jnp.ndarray,
+    leaky_slope: float = 0.2,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One Pallas kernel for the whole packed tail: polyphase deconv (BN folded
+    into `wbig`/`shift`) -> LeakyReLU -> boundary masking -> strided packed
+    out-conv -> +bias -> tanh. The phase-planar intermediate lives only in
+    VMEM -- the XLA formulation writes/reads it through HBM (537 MB/batch at
+    reference scale), which bounds that path at ~3 ms/branch.
+
+    Layout: rows and columns are parity-blocked OUTSIDE the kernel by free
+    reshapes (x: (B, H/2, 2, W/2, 2*Cin)), so every slice both compute stages
+    take is static and contiguous -- Mosaic lowers no strided or dynamic
+    accesses. The planar scratch is indexed [tau, delta, sigma, gamma*C4+slab]
+    with planar row m = 2*tau+delta, col j = 2*sigma+gamma.
+
+    x: (B, H, W, Cin) with H, W even; wbig: (2, 2, Cin, C4) from
+    deconv4x4s2_planar's tap split (C4 = 4*Cmid, slab-major); shift: (C4,);
+    w_str: (4, 4, C4, 16*Co) from packed_conv4x4s2_strided's index map;
+    out_bias16: (16*Co,). Returns (B, H/2, W/2, 16*Co) packed output for
+    depth_to_space4. Inference-only (no VJP).
+    """
+    b, h, w, cin = x.shape
+    c4 = wbig.shape[-1]
+    co16 = w_str.shape[-1]
+    hh, ww = h // 2, w // 2
+    dt = x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # fp32 inputs need the 3-pass bf16 decomposition for fp32-level accuracy;
+    # Mosaic rejects the fp32 contract precision on bf16 operands.
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    x_r = x.reshape(b, hh, 2, ww, 2 * cin)
+    shift2 = jnp.concatenate([shift, shift]).reshape(1, 2 * c4).astype(dt)
+    bias2 = out_bias16.reshape(1, co16).astype(jnp.float32)
+
+    # slab channel ranges for the boundary zeroing (slab = a*2 + b, each Cmid
+    # wide; C4 = 4*Cmid). Rows: planar row 0 invalid for a=1 slabs {2,3},
+    # row H invalid for a=0 slabs {0,1}; cols likewise with b.
+    cmid = c4 // 4
+
+    def kernel(x_ref, wbig_ref, shift_ref, wstr_ref, bias_ref, o_ref, yall_ref):
+        yall_ref[...] = jnp.zeros((hh + 1, 2, ww + 1, 2 * c4), dt)
+
+        # ---- stage A: polyphase deconv into the parity-blocked planar scratch
+        # target planar row m = 2*tau+delta reads x row m+r-1; per (delta, r)
+        # that is a fixed source parity and a contiguous tau range.
+        #   (delta=0, r=0): src x_r[tau-1, 1], tau in [1, hh]
+        #   (delta=0, r=1): src x_r[tau,   0], tau in [0, hh)
+        #   (delta=1, r=0): src x_r[tau,   0], tau in [0, hh)
+        #   (delta=1, r=1): src x_r[tau,   1], tau in [0, hh)
+        row_map = {
+            (0, 0): (1, hh + 1, -1, 1),  # (t0, t1, src_off, src_parity)
+            (0, 1): (0, hh, 0, 0),
+            (1, 0): (0, hh, 0, 0),
+            (1, 1): (0, hh, 0, 1),
+        }
+        for delta in (0, 1):
+            for r in (0, 1):
+                t0, t1, off, par = row_map[(delta, r)]
+                n = t1 - t0
+                src = x_ref[0, t0 + off : t0 + off + n, par]  # (n, ww, 2*Cin)
+                for gx in (0, 1):
+                    # collapse to a single 2D matmul: Mosaic handles (M, K) x
+                    # (K, N) far better than multi-free-dim dot_generals
+                    a_blk = src[:, :, gx * cin : (gx + 1) * cin].reshape(
+                        n * ww, cin
+                    )
+                    for s in (0, 1):
+                        wmat = wbig_ref[r, s]  # (Cin, C4)
+                        p = jax.lax.dot_general(
+                            a_blk, wmat, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        ).astype(dt).reshape(n, ww, c4)
+                        # col j = 2*sigma_x + gx + 1 - s
+                        gt = (gx + 1 - s) % 2
+                        s_t = (gx + 1 - s) // 2  # sigma offset
+                        yall_ref[
+                            t0:t1, delta, s_t : s_t + ww,
+                            gt * c4 : (gt + 1) * c4,
+                        ] += p
+
+        # ---- shift + LeakyReLU + boundary zeroing -------------------------
+        # bf16 comparisons are unsupported on this target: run the LeakyReLU
+        # select in fp32 (one VPU pass either way)
+        v = (yall_ref[...] + shift_ref[0][None, None, None, :]).astype(jnp.float32)
+        yall_ref[...] = jnp.where(v >= 0, v, leaky_slope * v).astype(dt)
+        z_row = jnp.zeros((ww + 1, 2 * cmid), dt)
+        z_col = jnp.zeros((hh + 1, 2, cmid), dt)
+        for g in (0, 1):
+            base = g * c4
+            # planar row 0: a=1 slabs; row H (tau=hh, delta=0): a=0 slabs
+            yall_ref[0, 0, :, base + 2 * cmid : base + 4 * cmid] = z_row
+            yall_ref[hh, 0, :, base : base + 2 * cmid] = z_row
+        # col 0 (sigma=0, gamma=0): b=1 slabs; col W (sigma=ww, gamma=0): b=0
+        for a in (0, 1):
+            yall_ref[:, :, 0, (2 * a + 1) * cmid : (2 * a + 2) * cmid] = z_col
+            yall_ref[:, :, ww, (2 * a) * cmid : (2 * a + 1) * cmid] = z_col
+        # rows/cols never written by stage A hold act(shift) after the act
+        # pass -- they are zero padding for stage B:
+        yall_ref[hh, 1] = jnp.zeros((ww + 1, 2 * c4), dt)
+        yall_ref[:, :, ww, c4 : 2 * c4] = jnp.zeros((hh + 1, 2, c4), dt)
+
+        # ---- stage B: strided packed out-conv + bias + tanh ----------------
+        acc = jnp.zeros((hh, ww, co16), jnp.float32)
+        for dyp in range(4):
+            for dxp in range(4):
+                a_blk = yall_ref[
+                    dyp // 2 : dyp // 2 + hh, dyp % 2,
+                    dxp // 2 : dxp // 2 + ww,
+                    (dxp % 2) * c4 : (dxp % 2 + 1) * c4,
+                ].reshape(hh * ww, c4)
+                acc = acc + jax.lax.dot_general(
+                    a_blk, wstr_ref[dyp, dxp], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                ).reshape(hh, ww, co16)
+        o_ref[0] = jnp.tanh(acc + bias_ref[0][None, None, :]).astype(dt)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh, 2, ww, 2 * cin), lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, 2, cin, c4), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4, c4, co16), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hh, ww, co16), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww, co16), dt),
+        scratch_shapes=[
+            pltpu.VMEM((hh + 1, 2, ww + 1, 2 * c4), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_r, wbig.astype(dt), shift2, w_str.astype(dt), bias2)
 
 
 def depth_to_space4(y: jnp.ndarray, cout: int) -> jnp.ndarray:
@@ -152,10 +323,20 @@ def packed_tail_forward(
     *,
     bn_eps: float = 1e-3,
     leaky_slope: float = 0.2,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Full packed tail: deconv4 -> +bias -> BN(inference) -> LeakyReLU ->
     out_conv -> +bias -> tanh, identical numerics to the native pixel-space
-    path (reference semantics: GAN_functions.py:266-273)."""
+    path (reference semantics: GAN_functions.py:266-273).
+
+    use_pallas=True runs the single fused VMEM-resident Pallas kernel
+    (fused_tail_pallas). Measured on v5e it LOSES to the two-XLA-conv
+    formulation (7.2 vs 3.0 ms/branch at batch 128): the kernel's HBM input
+    DMA tops out at ~200-450 GB/s depending on block shape, while XLA's conv
+    fusions stream the same bytes at ~550 GB/s, so the saved intermediate
+    round-trip cannot pay for the slower input path. Kept (tested, correct)
+    as the record of that experiment and for future runtimes with faster
+    Pallas DMA; default False."""
     cmid = deconv_kernel.shape[-1]
     cout = out_kernel.shape[-1]
     # Fold BN (inference statistics) into the deconv weights and bias: the
@@ -168,6 +349,16 @@ def packed_tail_forward(
         + (deconv_bias.astype(jnp.float32) - bn_mean.astype(jnp.float32)) * scale
     )
     folded_kernel = (deconv_kernel.astype(jnp.float32) * scale).astype(x.dtype)
+    if use_pallas:
+        y = fused_tail_pallas(
+            x,
+            deconv_wbig(folded_kernel),
+            tile_phases(shift.astype(x.dtype)),
+            strided_wstr(out_kernel.astype(x.dtype)),
+            tile_phases(out_bias, 16),
+            leaky_slope=leaky_slope,
+        )
+        return depth_to_space4(y, cout)
     yall = deconv4x4s2_planar(x, folded_kernel)
     yall = yall + tile_phases(shift.astype(yall.dtype))
     yall = jnp.where(yall >= 0, yall, leaky_slope * yall)

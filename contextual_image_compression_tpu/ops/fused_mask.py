@@ -22,9 +22,11 @@ Mosaic constraints and measured costs shape the implementation:
   * taps accumulate in SSA registers in chunks of 8 before each scratch-ref
     flush: bounds both the live temporary set (a full SSA chain blew the 16 MB
     scoped budget) and the accumulator's read-modify-write traffic;
-  * the bilateral range weight uses exp's 2nd-order Taylor: inputs are [0,1]
-    maps so |color_coeff*diff^2| <= ~8.9e-5 and the error (~1e-13) is far below
-    the cv2 parity tolerance, while the 69-tap loop runs FMAs only.
+  * the bilateral range weight uses exp's 1st-order Taylor: inputs are [0,1]
+    maps so |color_coeff*diff^2| <= ~8.9e-5 and the dropped terms (~4e-9) are
+    far below the cv2 parity tolerance, while the 69-tap loop runs FMAs only;
+  * box-filter row sums build incrementally across the 6 center-surround
+    scales (13 row taps instead of 48).
 """
 
 from __future__ import annotations
@@ -118,8 +120,10 @@ def _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff):
             sw = math.exp(space_coeff * (dy * dy + dx * dx))
             shifted = xs_ref[dx + radius, dy + radius : dy + radius + h, :]
             diff = shifted - x
-            t = color_coeff * diff * diff
-            wgt = sw * (1.0 + t * (1.0 + 0.5 * t))  # exp Taylor, see module doc
+            # exp Taylor (see module doc); 1st order suffices: the dropped
+            # 2nd-order term is <= 0.5*(8.9e-5)^2 ~ 4e-9. Folding sw into the
+            # coefficient keeps the tap at 5 VPU slots.
+            wgt = sw + (sw * color_coeff) * (diff * diff)
             acc_n = acc_n + wgt * shifted
             acc_d = acc_d + wgt
         num = num + acc_n
@@ -160,16 +164,33 @@ def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
     space_coeff = -0.5 / (sigma_space * sigma_space)
     gk = [float(v) for v in gaussian_kernel_1d(gauss_ksize, 0.0)]
 
-    def kernel(gray_ref, spec_ref, o_ref, xp_ref, xs_ref, tr_ref):
+    def kernel(gray_ref, spec_ref, o_ref, xp_ref, xs_ref, tr_ref, tc_ref):
         g = gray_ref[0] / 255.0  # (H, W) in [0,1]
 
         # ---- fine-grained: center-surround on/off over box scales -----------
+        # Row sums build INCREMENTALLY across scales (window 2r+1 = window
+        # 2r-1 plus two taps): 13 row taps total for scales 1..6 instead of 48.
+        rmax = max(scales)
+        tr_ref[0 : h + 2 * rmax, 0:w] = _reflect_pad_rows(g, rmax)
         fine = jnp.zeros((h, w), jnp.float32)
-        for r in scales:
-            k = 2 * r + 1
-            surround = _separable(
-                g, [1.0] * k, tr_ref, h, w, scale=1.0 / (k * k)
+        rs = tr_ref[rmax : rmax + h, 0:w]  # running row sum (window 1)
+        for r in range(1, rmax + 1):
+            rs = (
+                rs
+                + tr_ref[rmax - r : rmax - r + h, 0:w]
+                + tr_ref[rmax + r : rmax + r + h, 0:w]
             )
+            if r not in scales:
+                continue
+            k = 2 * r + 1
+            tc_ref[0 : w + 2 * r, 0:h] = _reflect_pad_rows(rs.T, r)
+            cs = jnp.zeros((w, h), jnp.float32)
+            for c0 in range(0, k, _CHUNK):
+                acc = jnp.zeros((w, h), jnp.float32)
+                for i in range(c0, min(c0 + _CHUNK, k)):
+                    acc = acc + tc_ref[i : i + w, 0:h]
+                cs = cs + acc
+            surround = cs.T * (1.0 / (k * k))
             # |g - s| == relu(g-s) + relu(s-g): on+off in one op
             fine = fine + jnp.abs(g - surround)
         fine = _normalize_max(fine)
@@ -184,13 +205,16 @@ def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
     return kernel
 
 
-def _scratches(h: int, w: int, radius: int, gpad: int):
+def _scratches(h: int, w: int, radius: int, gpad: int, extra: bool = False):
     m = max(h, w)
-    return [
+    out = [
         pltpu.VMEM((h + 2 * radius, w + 2 * radius), jnp.float32),  # xp
         pltpu.VMEM((2 * radius + 1, h + 2 * radius, w), jnp.float32),  # dx planes
         pltpu.VMEM((m + 2 * gpad, m), jnp.float32),  # rows-padded (both passes)
     ]
+    if extra:  # contextual kernel: box col-pass scratch alongside the row sums
+        out.append(pltpu.VMEM((m + 2 * gpad, m), jnp.float32))
+    return out
 
 
 def contextual_mask_pallas(
@@ -223,7 +247,7 @@ def contextual_mask_pallas(
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=_scratches(h, w, radius, gpad),
+        scratch_shapes=_scratches(h, w, radius, gpad, extra=True),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

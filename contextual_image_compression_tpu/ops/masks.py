@@ -147,10 +147,17 @@ def compute_contextual_mask(
     """End-to-end contextual mask: saliency ('combined') -> smooth mask, with the
     fully fused Pallas path on TPU (fine-grained + combine + bilateral + Gaussian
     + normalize in ONE kernel; the cheap 64x64 FFT spectral residual stays in
-    XLA). images: (B, H, W, 3) in [-1, 1] -> (B, H, W) masks."""
+    XLA). images: (B, H, W, 3) in [-1, 1] -- or uint8 in [0, 255], the
+    production wire format: gray255 = rgb_to_gray(float(u8)) is the SAME f32
+    value either way, so uint8 input is exact while moving 4x fewer bytes.
+    Returns (B, H, W) float32 masks."""
     from contextual_image_compression_tpu.ops import saliency as saliency_ops
 
     cfg = config or SaliencyConfig()
+    if images.dtype == jnp.uint8:
+        # decode path: saliency only needs gray255, computed exactly from u8
+        gray255 = iops.rgb_to_gray(images.astype(jnp.float32))
+        images = gray255  # (..., H, W) gray accepted by every path below
     if (
         cfg.mask_use_pallas
         and cfg.method == "combined"
@@ -164,7 +171,7 @@ def compute_contextual_mask(
         spec = saliency_ops.spectral_residual_saliency(
             images, cfg.spectral_resolution, cfg.spectral_blur_sigma
         )
-        gray = iops.rgb_to_gray((images + 1.0) * 127.5)
+        gray = saliency_ops._as_gray(images)
         batched = gray.ndim == 3
         if not batched:
             gray, spec = gray[None], spec[None]

@@ -43,6 +43,17 @@ def test_contextual_mask_pallas_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_uint8_input_exact(rng):
+    """uint8 images (the production wire format) must produce the SAME mask as
+    the [-1,1] float path: gray255 from u8 is the identical f32 value."""
+    u8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    cfg = SaliencyConfig()
+    m_u8 = masks.compute_contextual_mask(jnp.asarray(u8), cfg)
+    m_f32 = masks.compute_contextual_mask(jnp.asarray(f32), cfg)
+    np.testing.assert_allclose(np.asarray(m_u8), np.asarray(m_f32), atol=1e-5)
+
+
 def test_non_square_supported(rng):
     """The lane-offset column-pass formulation handles non-square maps (the
     earlier transpose-scratch version was square-only)."""

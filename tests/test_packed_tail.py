@@ -93,6 +93,49 @@ def test_packed_tail_full_pipeline(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_fused_tail_pallas_matches_xla_path(rng):
+    """The single-kernel Pallas tail (interpret mode off-TPU) must equal the
+    two-conv XLA formulation and the native pixel path."""
+    cmid, cout = 8, 3
+    x = _rand(rng, 2, 8, 8, 16)
+    k4 = _rand(rng, 4, 4, 16, cmid) * 0.2
+    b4 = _rand(rng, cmid) * 0.1
+    ko = _rand(rng, 4, 4, cmid, cout) * 0.2
+    bo = _rand(rng, cout) * 0.1
+    scale = jnp.abs(_rand(rng, cmid)) + 0.5
+    bias = _rand(rng, cmid) * 0.1
+    mean = _rand(rng, cmid) * 0.1
+    var = jnp.abs(_rand(rng, cmid)) + 0.5
+
+    got = packed_tail_forward(
+        x, k4, b4, scale, bias, mean, var, ko, bo, use_pallas=True
+    )
+    want = packed_tail_forward(
+        x, k4, b4, scale, bias, mean, var, ko, bo, use_pallas=False
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_tail_pallas_real_scale(rng):
+    """Real channel sizes (Cin=128, Cmid=32, 256^2 output) through the Pallas
+    kernel in interpret mode."""
+    x = _rand(rng, 1, 128, 128, 128) * 0.3
+    k4 = _rand(rng, 4, 4, 128, 32) * 0.05
+    b4 = _rand(rng, 32) * 0.1
+    ko = _rand(rng, 4, 4, 32, 3) * 0.05
+    bo = _rand(rng, 3) * 0.1
+    ones = jnp.ones((32,))
+    zeros = jnp.zeros((32,))
+    got = packed_tail_forward(
+        x, k4, b4, ones, zeros, zeros, ones, ko, bo, use_pallas=True
+    )
+    want = packed_tail_forward(
+        x, k4, b4, ones, zeros, zeros, ones, ko, bo, use_pallas=False
+    )
+    assert got.shape == (1, 256, 256, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_generator_packed_tail_equivalence(rng):
     """Generator(packed_tail=True) at inference == native path, same param tree
     (checkpoint-interchangeable)."""
