@@ -109,6 +109,12 @@ class ModelConfig:
     # v5e: the two half-output SLICES it feeds the encoders cost more than the
     # saved conv pass (codec 4986 -> 4685 img/s at b128), so default off.
     merge_first_conv: bool = False
+    # W8A8 int8 evaluation of the four giant latent/fc Dense layers (weight
+    # streaming is their entire cost: ~800 MB of bf16 weights per forward).
+    # Measured on v5e: LOSES (codec 5300 -> 4804 img/s at b128) -- the per-row
+    # activation max/round/cast overhead exceeds the halved weight stream --
+    # so default off; kept as the record of the experiment. Inference-only.
+    dense_int8: bool = False
     leaky_slope: float = 0.2
     # Self-attention at 32x32x256 in the HQ encoder only (reference: GAN_functions.py:315-318)
     hq_attention: bool = True

@@ -99,6 +99,7 @@ class AdaptiveCodec:
             channels=self.cfg.encoder_channels,
             leaky_slope=self.cfg.leaky_slope,
             attention_use_pallas=self.cfg.attention_use_pallas,
+            dense_int8=self.cfg.dense_int8,
             **self._dt(),
         )
 
@@ -109,6 +110,7 @@ class AdaptiveCodec:
             add_attention=False,
             channels=self.cfg.encoder_channels,
             leaky_slope=self.cfg.leaky_slope,
+            dense_int8=self.cfg.dense_int8,
             **self._dt(),
         )
 
@@ -121,6 +123,7 @@ class AdaptiveCodec:
             leaky_slope=self.cfg.leaky_slope,
             polyphase=self.cfg.generator_polyphase,
             packed_tail=self.cfg.generator_packed_tail,
+            dense_int8=self.cfg.dense_int8,
             **self._dt(),
         )
 

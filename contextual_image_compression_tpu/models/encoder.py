@@ -39,6 +39,7 @@ class Encoder(nn.Module):
     channels: Tuple[int, ...] = (64, 128, 256, 512)
     leaky_slope: float = 0.2
     attention_use_pallas: bool = True
+    dense_int8: bool = False  # W8A8 latent projection at inference (see KDense)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -79,5 +80,8 @@ class Encoder(nn.Module):
         x4 = leaky_relu(x4, self.leaky_slope)
 
         flat = x4.reshape(x4.shape[0], -1)
-        latent = KDense(self.latent_dim, name="latent_dense", **dt)(flat)
+        latent = KDense(
+            self.latent_dim, int8=self.dense_int8 and not train,
+            name="latent_dense", **dt,
+        )(flat)
         return latent, (skip1, skip2, skip3)

@@ -39,6 +39,7 @@ class Generator(nn.Module):
     # MXU-packed lowering of deconv4+BN+LeakyReLU+out_conv+tanh (identical
     # numerics and checkpoint layout; inference-only -- see models/packed_tail.py).
     packed_tail: bool = False
+    dense_int8: bool = False  # W8A8 fc projection at inference (see KDense)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -48,7 +49,10 @@ class Generator(nn.Module):
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         use_packed = self.packed_tail and not train
 
-        x = KDense(self.base_hw * self.base_hw * self.base_ch, name="fc", **dt)(latent)
+        x = KDense(
+            self.base_hw * self.base_hw * self.base_ch,
+            int8=self.dense_int8 and not train, name="fc", **dt,
+        )(latent)
         x = x.reshape(x.shape[0], self.base_hw, self.base_hw, self.base_ch)
         x = KBatchNorm(name="bn0", **dt)(x, use_running_average=not train)
         x = leaky_relu(x, self.leaky_slope)

@@ -193,6 +193,20 @@ class ConvSurface(nn.Module):
         )()
 
 
+class DenseSurface(nn.Module):
+    """Parameter surface matching nn.Dense's {kernel,bias}; nest under the
+    wrapper with name='Dense_0' so checkpoint paths are unchanged."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", glorot, (cin, self.features), self.param_dtype)
+        b = self.param("bias", zeros, (self.features,), self.param_dtype)
+        return k, b
+
+
 class _BNParamHolder(nn.Module):
     features: int
     param_dtype: Dtype = jnp.float32
@@ -222,19 +236,46 @@ class BNSurface(nn.Module):
 
 
 class KDense(nn.Module):
+    """Dense with keras defaults; optional W8A8 serving path.
+
+    int8=True evaluates y = (q_x @ q_w) * sx * sw + b with per-row activation
+    scales and per-column weight scales (symmetric, round-to-nearest). The
+    int8 MACs accumulate in int32 on the MXU and the weight stream halves --
+    these layers (131072x1024-class projections) are weight-bandwidth-bound.
+    Parameters stay fp32/bf16 in the checkpoint; quantization happens at
+    trace time on the weight side and per-call on the activation side.
+    Inference-only (callers gate on train)."""
+
     features: int
+    int8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(
-            self.features,
-            kernel_init=glorot,
-            bias_init=zeros,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        if not self.int8:
+            return nn.Dense(
+                self.features,
+                kernel_init=glorot,
+                bias_init=zeros,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
+        kernel, bias = DenseSurface(
+            self.features, self.param_dtype, name="Dense_0"
+        )(x.shape[-1])
+        w32 = kernel.astype(jnp.float32)
+        sw = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0  # (1, N)
+        q_w = jnp.round(w32 / jnp.maximum(sw, 1e-12)).astype(jnp.int8)
+        x32 = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0  # (..., 1)
+        q_x = jnp.round(x32 / jnp.maximum(sx, 1e-12)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q_x, q_w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * sx * sw + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 class KBatchNorm(nn.Module):

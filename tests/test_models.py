@@ -190,3 +190,21 @@ def test_polyphase_convtranspose_equivalence(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
     v2 = g_ref.init(jax.random.PRNGKey(0), lat, skips, train=False)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+
+def test_dense_int8_close_to_fp(rng):
+    """W8A8 KDense: same param tree as the fp path, output within int8
+    quantization error."""
+    from contextual_image_compression_tpu.models.layers import KDense
+
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    d_fp = KDense(32)
+    d_q = KDense(32, int8=True)
+    v = d_fp.init(jax.random.PRNGKey(0), x)
+    y_fp = d_fp.apply(v, x)
+    y_q = d_q.apply(v, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        d_q.init(jax.random.PRNGKey(0), x)
+    )
+    rel = float(jnp.max(jnp.abs(y_q - y_fp)) / (jnp.max(jnp.abs(y_fp)) + 1e-9))
+    assert rel < 0.05, rel
