@@ -53,6 +53,11 @@ class SaliencyConfig:
     # Fused bilateral+gaussian+normalize Pallas kernel for the smooth-mask path
     # (TPU only; identical numerics to the jnp path, tested).
     mask_use_pallas: bool = True
+    # Compute dtype of the fused mask kernel's windowed passes. 'bfloat16' was
+    # measured SLOWER on v5e (34.0k vs 49.3k img/s: transpose/tiling overheads
+    # beat the faster bf16 FMAs) -- kept as the record of that experiment;
+    # 'float32' keeps the cv2-parity numerics and is the default.
+    mask_engine_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # Adaptive threshold clamps (reference: GAN_functions.py:189-194)
     mask_threshold_min: float = 0.05
     mask_threshold_max: float = 0.5

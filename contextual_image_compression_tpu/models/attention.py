@@ -10,7 +10,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from contextual_image_compression_tpu.models.layers import KConv
+from contextual_image_compression_tpu.models.layers import ConvSurface
 from contextual_image_compression_tpu.ops.attention import attention_block
 
 
@@ -24,22 +24,32 @@ class SelfAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         inner = self.channels // 8
-        q = KConv(inner, kernel=1, dtype=self.dtype, param_dtype=self.param_dtype,
-                  name="query_conv")(x)
-        k = KConv(inner, kernel=1, dtype=self.dtype, param_dtype=self.param_dtype,
-                  name="key_conv")(x)
-        v = KConv(self.channels, kernel=1, dtype=self.dtype,
-                  param_dtype=self.param_dtype, name="value_conv")(x)
+        # The 1x1 Q/K/V projections evaluate as matmuls over the (B, HW, C)
+        # view: identical math to 1x1 convs (parameters keep the conv layout
+        # and paths, so checkpoints are unchanged), but XLA then keeps ONE
+        # layout for the projections, the fused kernel, and the residual,
+        # instead of relayout-copying each conv output to feed the custom call.
+        kq, bq = ConvSurface(inner, 1, self.param_dtype, name="query_conv")(c)
+        kk, bk = ConvSurface(inner, 1, self.param_dtype, name="key_conv")(c)
+        kv, bv = ConvSurface(self.channels, 1, self.param_dtype, name="value_conv")(c)
 
-        q = q.reshape(b, h * w, inner)
-        k = k.reshape(b, h * w, inner)
-        v = v.reshape(b, h * w, self.channels)
+        xf = x.reshape(b, h * w, c)
+        dt = self.dtype
+
+        def proj(kern, bias, n):
+            return (
+                jnp.einsum("bnc,cf->bnf", xf, kern.reshape(c, n).astype(dt))
+                + bias.astype(dt)
+            )
+
+        q = proj(kq, bq, inner)
+        k = proj(kk, bk, inner)
+        v = proj(kv, bv, self.channels)
 
         gamma = self.param("gamma", nn.initializers.zeros, (1,), self.param_dtype)
         # gamma*context + x fused into the kernel's output write (saves the
         # separate broadcast-multiply-add pass over the (B,HW,C) tensor)
         out = attention_block(
-            q, k, v, x.reshape(b, h * w, c), gamma.astype(x.dtype)[0],
-            use_pallas=self.use_pallas,
+            q, k, v, xf, gamma.astype(dt)[0], use_pallas=self.use_pallas,
         )
         return out.reshape(b, h, w, self.channels)

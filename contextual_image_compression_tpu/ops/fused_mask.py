@@ -70,7 +70,7 @@ def _reflect_pad2(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return _reflect_pad_cols(_reflect_pad_rows(x, pad), pad)
 
 
-def _separable(src, weights, tr_ref, h, w, scale=None):
+def _separable(src, weights, tr_ref, h, w, scale=None, dt=jnp.float32):
     """Separable 2D filter on (h, w): each pass shifts along the sublane axis
     of a row-padded scratch; the column pass transposes in and out (cheaper
     than lane-offset reads on this VPU). `weights` is a static Python list;
@@ -80,11 +80,11 @@ def _separable(src, weights, tr_ref, h, w, scale=None):
     pad = k // 2
 
     def rows_pass(t, hh, ww):
-        outv = jnp.zeros((hh, ww), jnp.float32)
+        outv = jnp.zeros((hh, ww), dt)
         for c0 in range(0, k, _CHUNK):
-            acc = jnp.zeros((hh, ww), jnp.float32)
+            acc = jnp.zeros((hh, ww), dt)
             for i in range(c0, min(c0 + _CHUNK, k)):
-                acc = acc + weights[i] * t[i : i + hh, 0:ww]
+                acc = acc + jnp.asarray(weights[i], dt) * t[i : i + hh, 0:ww]
             outv = outv + acc
         return outv
 
@@ -97,7 +97,8 @@ def _separable(src, weights, tr_ref, h, w, scale=None):
     return out
 
 
-def _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff):
+def _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff,
+               dt=jnp.float32):
     """Disk-masked bilateral with Taylor range kernel. xp_ref holds the
     2D-reflect-padded input; xs_ref (2*radius+1, h+2*radius, w) caches the
     dx-shifted planes so the 69-tap loop issues only cheap sublane-offset
@@ -111,42 +112,50 @@ def _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff):
         for dx in range(-radius, radius + 1)
         if dy * dy + dx * dx <= radius * radius  # cv2 disk mask
     ]
-    num = jnp.zeros((h, w), jnp.float32)
-    den = jnp.zeros((h, w), jnp.float32)
+    num = jnp.zeros((h, w), dt)
+    den = jnp.zeros((h, w), dt)
     for c0 in range(0, len(taps), _CHUNK):
-        acc_n = jnp.zeros((h, w), jnp.float32)
-        acc_d = jnp.zeros((h, w), jnp.float32)
+        acc_n = jnp.zeros((h, w), dt)
+        acc_d = jnp.zeros((h, w), dt)
         for dy, dx in taps[c0 : c0 + _CHUNK]:
-            sw = math.exp(space_coeff * (dy * dy + dx * dx))
+            sw = jnp.asarray(math.exp(space_coeff * (dy * dy + dx * dx)), dt)
+            swc = jnp.asarray(
+                math.exp(space_coeff * (dy * dy + dx * dx)) * color_coeff, dt
+            )
             shifted = xs_ref[dx + radius, dy + radius : dy + radius + h, :]
             diff = shifted - x
             # exp Taylor (see module doc); 1st order suffices: the dropped
             # 2nd-order term is <= 0.5*(8.9e-5)^2 ~ 4e-9. Folding sw into the
             # coefficient keeps the tap at 5 VPU slots.
-            wgt = sw + (sw * color_coeff) * (diff * diff)
+            wgt = sw + swc * (diff * diff)
             acc_n = acc_n + wgt * shifted
             acc_d = acc_d + wgt
         num = num + acc_n
         den = den + acc_d
-    return num / jnp.maximum(den, 1e-20)
+    # divide in f32 (also: bf16 has too few mantissa bits for the ratio)
+    return (num.astype(jnp.float32) / jnp.maximum(den.astype(jnp.float32), 1e-20))
 
 
 def _normalize_max(out):
+    # comparisons and the max-divide run in f32 (bf16 compares are unsupported
+    # on this target and the ratio needs the mantissa)
+    out = out.astype(jnp.float32)
     mx = jnp.max(out)
     return jnp.where(mx > 0, out / jnp.maximum(mx, 1e-12), out)
 
 
 def _make_kernel(h: int, w: int, d: int, sigma_color: float, sigma_space: float,
-                 gauss_ksize: int):
+                 gauss_ksize: int, dt=jnp.float32):
     radius = d // 2
     color_coeff = -0.5 / (sigma_color * sigma_color)
     space_coeff = -0.5 / (sigma_space * sigma_space)
     gk = [float(v) for v in gaussian_kernel_1d(gauss_ksize, 0.0)]
 
     def kernel(x_ref, o_ref, xp_ref, xs_ref, tr_ref):
-        x = x_ref[0]  # (H, W)
-        y = _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff)
-        out = _separable(y, gk, tr_ref, h, w)
+        x = x_ref[0].astype(dt)  # (H, W)
+        y = _bilateral(x, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff,
+                       dt=dt).astype(dt)
+        out = _separable(y, gk, tr_ref, h, w, dt=dt)
         o_ref[0] = _normalize_max(out)
 
     return kernel
@@ -154,7 +163,8 @@ def _make_kernel(h: int, w: int, d: int, sigma_color: float, sigma_space: float,
 
 def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
                             fine_weight: float, d: int, sigma_color: float,
-                            sigma_space: float, gauss_ksize: int):
+                            sigma_space: float, gauss_ksize: int,
+                            dt=jnp.float32):
     """Full contextual-mask fusion: fine-grained saliency (box-filter
     center-surround, reference: GAN_functions.py:52-121 'fine_grained') +
     combined-weighting (reference :94-98) + the smooth-mask chain -- one HBM
@@ -165,14 +175,14 @@ def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
     gk = [float(v) for v in gaussian_kernel_1d(gauss_ksize, 0.0)]
 
     def kernel(gray_ref, spec_ref, o_ref, xp_ref, xs_ref, tr_ref, tc_ref):
-        g = gray_ref[0] / 255.0  # (H, W) in [0,1]
+        g = (gray_ref[0] * (1.0 / 255.0)).astype(dt)  # (H, W) in [0,1]
 
         # ---- fine-grained: center-surround on/off over box scales -----------
         # Row sums build INCREMENTALLY across scales (window 2r+1 = window
         # 2r-1 plus two taps): 13 row taps total for scales 1..6 instead of 48.
         rmax = max(scales)
         tr_ref[0 : h + 2 * rmax, 0:w] = _reflect_pad_rows(g, rmax)
-        fine = jnp.zeros((h, w), jnp.float32)
+        fine = jnp.zeros((h, w), dt)
         rs = tr_ref[rmax : rmax + h, 0:w]  # running row sum (window 1)
         for r in range(1, rmax + 1):
             rs = (
@@ -184,36 +194,40 @@ def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
                 continue
             k = 2 * r + 1
             tc_ref[0 : w + 2 * r, 0:h] = _reflect_pad_rows(rs.T, r)
-            cs = jnp.zeros((w, h), jnp.float32)
+            cs = jnp.zeros((w, h), dt)
             for c0 in range(0, k, _CHUNK):
-                acc = jnp.zeros((w, h), jnp.float32)
+                acc = jnp.zeros((w, h), dt)
                 for i in range(c0, min(c0 + _CHUNK, k)):
                     acc = acc + tc_ref[i : i + w, 0:h]
                 cs = cs + acc
-            surround = cs.T * (1.0 / (k * k))
+            surround = cs.T * jnp.asarray(1.0 / (k * k), dt)
             # |g - s| == relu(g-s) + relu(s-g): on+off in one op
             fine = fine + jnp.abs(g - surround)
         fine = _normalize_max(fine)
 
         # ---- combined = 0.6*spectral + 0.4*fine, max-normalized --------------
-        comb = _normalize_max(spectral_weight * spec_ref[0] + fine_weight * fine)
+        comb = _normalize_max(
+            spectral_weight * spec_ref[0] + fine_weight * fine
+        ).astype(dt)
 
         # ---- bilateral(9, 75, 75) -> Gaussian 31x31 -> max-normalize ---------
-        y = _bilateral(comb, xp_ref, xs_ref, h, w, radius, color_coeff, space_coeff)
-        o_ref[0] = _normalize_max(_separable(y, gk, tr_ref, h, w))
+        y = _bilateral(comb, xp_ref, xs_ref, h, w, radius, color_coeff,
+                       space_coeff, dt=dt).astype(dt)
+        o_ref[0] = _normalize_max(_separable(y, gk, tr_ref, h, w, dt=dt))
 
     return kernel
 
 
-def _scratches(h: int, w: int, radius: int, gpad: int, extra: bool = False):
+def _scratches(h: int, w: int, radius: int, gpad: int, extra: bool = False,
+               dt=jnp.float32):
     m = max(h, w)
     out = [
-        pltpu.VMEM((h + 2 * radius, w + 2 * radius), jnp.float32),  # xp
-        pltpu.VMEM((2 * radius + 1, h + 2 * radius, w), jnp.float32),  # dx planes
-        pltpu.VMEM((m + 2 * gpad, m), jnp.float32),  # rows-padded (both passes)
+        pltpu.VMEM((h + 2 * radius, w + 2 * radius), dt),  # xp
+        pltpu.VMEM((2 * radius + 1, h + 2 * radius, w), dt),  # dx planes
+        pltpu.VMEM((m + 2 * gpad, m), dt),  # rows-padded (both passes)
     ]
     if extra:  # contextual kernel: box col-pass scratch alongside the row sums
-        out.append(pltpu.VMEM((m + 2 * gpad, m), jnp.float32))
+        out.append(pltpu.VMEM((m + 2 * gpad, m), dt))
     return out
 
 
@@ -227,16 +241,25 @@ def contextual_mask_pallas(
     sigma_color: float = 75.0,
     sigma_space: float = 75.0,
     gauss_ksize: int = 31,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fused fine-grained saliency + combine + smooth mask for (B, H, W) gray
     images in [0,255] and precomputed (B, H, W) spectral maps.
+
+    compute_dtype=bfloat16 runs the windowed passes at bf16; normalizations,
+    divisions, and the output stay f32. Measured on v5e: SLOWER than f32
+    (34.0k vs 49.3k img/s at b128) -- bf16 raw FMA chains are ~1.6x faster on
+    this VPU, but the kernel's transposes and (h+2p, w) scratch stores pay
+    bf16's (16, 128) tiling overheads, which dominate. Mask deviation vs f32
+    is ~2e-2, measured < 0.001 dB PSNR impact on the trained codec. Kept as
+    the record of the experiment; default float32.
     """
     b, h, w = gray255.shape
     radius = d // 2
     gpad = gauss_ksize // 2
     kernel = _make_contextual_kernel(
         h, w, tuple(scales), spectral_weight, fine_weight, d, sigma_color,
-        sigma_space, gauss_ksize,
+        sigma_space, gauss_ksize, dt=compute_dtype,
     )
     return pl.pallas_call(
         kernel,
@@ -247,7 +270,7 @@ def contextual_mask_pallas(
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=_scratches(h, w, radius, gpad, extra=True),
+        scratch_shapes=_scratches(h, w, radius, gpad, extra=True, dt=compute_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -184,6 +184,7 @@ def compute_contextual_mask(
             sigma_color=cfg.mask_bilateral_sigma_color,
             sigma_space=cfg.mask_bilateral_sigma_space,
             gauss_ksize=cfg.mask_gaussian_ksize,
+            compute_dtype=jnp.dtype(cfg.mask_engine_dtype),
         )
         return out if batched else out[0]
     sal = saliency_ops.compute_saliency_map(images, cfg.method, cfg)

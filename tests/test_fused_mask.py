@@ -70,3 +70,13 @@ def test_compute_contextual_mask_dispatches_to_jnp_off_tpu(rng):
     out = masks.compute_contextual_mask(imgs, SaliencyConfig())
     assert out.shape == (2, 32, 32)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0 + 1e-6
+
+
+def test_bf16_engine_close_to_f32(rng):
+    """The bf16-compute mask engine option (measured-and-rejected for speed,
+    kept as an option) must stay within bf16 noise of the f32 path."""
+    gray = jnp.asarray(rng.rand(2, 64, 64).astype(np.float32) * 255)
+    spec = jnp.asarray(rng.rand(2, 64, 64).astype(np.float32))
+    m32 = contextual_mask_pallas(gray, spec)
+    mbf = contextual_mask_pallas(gray, spec, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(mbf), np.asarray(m32), atol=5e-2)
