@@ -1,0 +1,127 @@
+"""Production serving pipeline: uint8 images in -> decoded uint8 images out.
+
+Packages the full flagship path -- batched on-device saliency -> contextual
+mask -> adaptive GAN codec encode+decode -> uint8 re-encode -- as one jitted
+callable in the production wire format (uint8 RGB both ways; the mask engine
+consumes u8 exactly, see ops/masks.compute_contextual_mask). This is the
+pipeline `bench.py` measures (4,962 img/s/chip on one v5e at batch 128) made
+available as an API; the reference has no serving tier at all (its eval loop
+is per-image host OpenCV + predict, GAN_test.py:265-340).
+
+Also exposes real-bitstream serialization of the quantized latents (measured
+bpp; ops/bitstream.py). Note the architectural caveat inherited from the
+reference: the generators consume encoder SKIP tensors that bypass the latent
+bottleneck (GAN_functions.py:256-266), so the latent bitstream alone cannot
+reconstruct the image -- the codec is served as an encode+decode pipeline, and
+bitstreams quantify the latent rate exactly as the reference's analytic
+accounting does (GAN_test.py:314-325), but measured.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextual_image_compression_tpu.config import ModelConfig, SaliencyConfig
+from contextual_image_compression_tpu.checkpoint import CheckpointStore
+from contextual_image_compression_tpu.models.adaptive import AdaptiveCodec
+from contextual_image_compression_tpu.ops import bitstream as bs
+from contextual_image_compression_tpu.ops import masks as mask_ops
+from contextual_image_compression_tpu.utils.tree import cast_floats
+
+
+def _serving_model_config(cfg: ModelConfig) -> ModelConfig:
+    """bf16 inference with the MXU-packed generator tail (the measured-fastest
+    serving configuration)."""
+    return dataclasses.replace(cfg, dtype="bfloat16", generator_packed_tail=True)
+
+
+class CompressionPipeline:
+    """Batched uint8 -> uint8 contextual-compression serving pipeline.
+
+    pipe = CompressionPipeline(model_dir="models_ckpt")
+    decoded_u8, info = pipe(images_u8, target_bpp=1.0)
+
+    `images_u8`: (B, H, W, 3) uint8 RGB. Returns the decoded uint8 batch plus
+    a dict with the per-image bit-allocation map and quantized latents.
+    `warmup(batch)` pre-compiles for a batch size.
+    """
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        variables: Optional[Dict] = None,
+        model_config: Optional[ModelConfig] = None,
+        saliency_config: Optional[SaliencyConfig] = None,
+    ):
+        self.mcfg = _serving_model_config(model_config or ModelConfig())
+        self.scfg = saliency_config or SaliencyConfig()
+        self.codec = AdaptiveCodec(self.mcfg)
+        if variables is None:
+            template = self.codec.init(jax.random.PRNGKey(0), batch_size=1)
+            if model_dir is not None:
+                variables, self.provenance = CheckpointStore(
+                    model_dir
+                ).load_components(template)
+            else:
+                variables, self.provenance = template, {"all": "init"}
+        self.variables = cast_floats(variables, jnp.bfloat16)
+
+        scfg = self.scfg
+        codec = self.codec
+
+        def _run(variables, imgs_u8, bpp):
+            mask = mask_ops.compute_contextual_mask(imgs_u8, scfg)[..., None]
+            img = imgs_u8.astype(jnp.bfloat16) * (1.0 / 127.5) - 1.0
+            out, _ = codec.apply(
+                variables, img, mask.astype(jnp.bfloat16), bpp, train=False
+            )
+            decoded = (out.blended.astype(jnp.float32) + 1.0) * 127.5
+            decoded = jnp.clip(jnp.round(decoded), 0, 255).astype(jnp.uint8)
+            return decoded, {
+                "bit_allocation": out.dynamic_threshold[..., 0],
+                "hq_latent_q": out.hq_latent_q,
+                "lq_latent_q": out.lq_latent_q,
+                "hq_saliency": out.hq_saliency_quant,
+                "lq_saliency": out.lq_saliency_quant,
+                "quant_strength": out.quant_strength,
+                "mask": mask[..., 0],
+            }
+
+        self._run = jax.jit(_run)
+
+    def warmup(self, batch: int) -> None:
+        h, w = self.mcfg.img_size
+        dummy = jnp.zeros((batch, h, w, self.mcfg.channels), jnp.uint8)
+        self(np.asarray(dummy), target_bpp=1.0)
+
+    def __call__(
+        self, images_u8: np.ndarray, target_bpp: float = 1.0
+    ) -> Tuple[np.ndarray, Dict]:
+        b = images_u8.shape[0]
+        bpp = jnp.full((b, 1), float(target_bpp), jnp.bfloat16)
+        decoded, info = self._run(self.variables, jnp.asarray(images_u8), bpp)
+        return np.asarray(decoded), info
+
+    def serialize_latents(self, info: Dict) -> Tuple[List[Tuple[bytes, bytes]], np.ndarray]:
+        """Entropy-code the quantized latents into real per-image bitstreams;
+        returns (streams, measured bits-per-pixel). See module caveat."""
+        coeff = self.mcfg.quantizer.scale_coeff
+        qs = np.asarray(info["quant_strength"], np.float32)[:, 0]
+        hq_scales = np.exp(
+            coeff * qs * (1.0 - np.asarray(info["hq_saliency"], np.float32)[:, 0])
+        )
+        lq_scales = np.exp(
+            coeff * qs * (1.0 - np.asarray(info["lq_saliency"], np.float32)[:, 0])
+        )
+        streams = bs.pack_codec_latents(
+            np.asarray(info["hq_latent_q"], np.float32),
+            np.asarray(info["lq_latent_q"], np.float32),
+            hq_scales,
+            lq_scales,
+        )
+        return streams, bs.measured_bpp(streams, self.mcfg.img_size)
