@@ -182,18 +182,32 @@ def main():
         mask=jnp.full((tb, 256, 256, 1), 0.5, jnp.float32),
         bpp=jnp.full((tb, 1), 1.0, jnp.float32),
     )
-    step_with_d, _ = builder.jitted_steps(donate=True)
+    step_with_d, step_no_d = builder.jitted_steps(donate=True)
 
     s, m = step_with_d(state, tbatch)  # compile + warm (donates `state`)
     float(m["g_loss"])
-    n_train = max(5, iters // 4)
+    s, m = step_no_d(s, tbatch)
+    float(m["g_loss"])
+    # The real epoch loop alternates D-every-other-step (train/loop.py;
+    # reference GAN_train.py:426-428) -- measure that schedule, plus each
+    # variant separately for the details file.
+    n_train = 2 * max(4, iters // 4)
     t0 = time.perf_counter()
-    for _ in range(n_train):
-        s, m = step_with_d(s, tbatch)
+    for i in range(n_train):
+        s, m = (step_with_d if i % 2 == 0 else step_no_d)(s, tbatch)
     float(m["g_loss"])  # completion fence; fetch overhead << n_train * step time
     details["gan_train_step_256_b16_img_per_sec"] = tb * n_train / (
         time.perf_counter() - t0
     )
+    for name, fn in (("with_d", step_with_d), ("no_d", step_no_d)):
+        n = max(4, iters // 4)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, m = fn(s, tbatch)
+        float(m["g_loss"])
+        details[f"gan_train_step_256_b16_img_per_sec_{name}"] = tb * n / (
+            time.perf_counter() - t0
+        )
 
     with open(Path(__file__).resolve().parent / "BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -337,6 +337,13 @@ def packed_tail_forward(
     round-trip cannot pay for the slower input path. Kept (tested, correct)
     as the record of that experiment and for future runtimes with faster
     Pallas DMA; default False."""
+    if x.shape[1] != x.shape[2]:
+        raise ValueError(
+            "packed_tail_forward requires square spatial dims (boundary_masks "
+            f"and depth_to_space4 derive both axes from H); got {x.shape[1]}x"
+            f"{x.shape[2]}. Use generator_packed_tail=False for non-square "
+            "img_size configs."
+        )
     cmid = deconv_kernel.shape[-1]
     cout = out_kernel.shape[-1]
     # Fold BN (inference statistics) into the deconv weights and bias: the

@@ -82,6 +82,34 @@ def quantizer_scale(saliency_score: float, quant_strength: float,
     return float(np.exp(scale_coeff * quant_strength * (1.0 - saliency_score)))
 
 
+def pack_symbols(symbols: np.ndarray, scale: float) -> bytes:
+    """Serialize PRE-COMPUTED integer symbols (float array of integers) at grid
+    `scale`. Use when the forward pass already emitted exact symbols (e.g. the
+    serving pipeline computes round(latent*scale) in fp32 on device); avoids
+    re-deriving them from dequantized -- possibly bf16-rounded -- latents."""
+    sym = np.clip(np.asarray(symbols), -32768, 32767).astype(np.int16)
+    coder, payload = _encode_payload(sym)
+    return (
+        _HEADER.pack(_VERSION, coder, float(scale), sym.size, len(payload)) + payload
+    )
+
+
+def pack_codec_symbols(
+    hq_symbols: np.ndarray,    # (B, 2D) integer-valued
+    lq_symbols: np.ndarray,    # (B, D) integer-valued
+    hq_scales: np.ndarray,     # (B,)
+    lq_scales: np.ndarray,     # (B,)
+) -> List[Tuple[bytes, bytes]]:
+    """Per-image (hq_stream, lq_stream) pairs from device-emitted symbols."""
+    return [
+        (
+            pack_symbols(hq_symbols[i], float(hq_scales[i])),
+            pack_symbols(lq_symbols[i], float(lq_scales[i])),
+        )
+        for i in range(hq_symbols.shape[0])
+    ]
+
+
 def pack_codec_latents(
     hq_latent_q: np.ndarray,   # (B, 2D) quantized
     lq_latent_q: np.ndarray,   # (B, D) quantized

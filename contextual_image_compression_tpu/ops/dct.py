@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import zlib
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -219,13 +219,26 @@ class DCTCodec:
 
     def __init__(self, cfg: DCTCodecConfig = DCTCodecConfig()):
         self.cfg = cfg
-        luma = quality_scaled_table(_LUMA_TABLE, cfg.quality)
-        chroma = quality_scaled_table(_CHROMA_TABLE, cfg.quality)
-        self._tables = np.stack([luma, chroma, chroma])  # Y, Cb, Cr
+        self._tables = self._tables_for(cfg.quality)
 
-    def _qtable_strips(self, b: int, c: int, h: int, w: int) -> jnp.ndarray:
-        """Tile the per-channel 8x8 tables into (B*C*H/8, 8, W) strips."""
-        tiled = np.tile(self._tables[:, None, :, :], (1, h // 8, 1, w // 8))  # (C,H/8,8,W)
+    @staticmethod
+    def _tables_for(quality: int) -> np.ndarray:
+        luma = quality_scaled_table(_LUMA_TABLE, quality)
+        chroma = quality_scaled_table(_CHROMA_TABLE, quality)
+        return np.stack([luma, chroma, chroma])  # Y, Cb, Cr
+
+    def _qtable_strips(
+        self, b: int, c: int, h: int, w: int, quality: Optional[int] = None
+    ) -> jnp.ndarray:
+        """Tile the per-channel 8x8 tables into (B*C*H/8, 8, W) strips.
+        `quality` overrides the configured quality (used when decoding a stream
+        whose header records a different setting)."""
+        tables = (
+            self._tables
+            if quality is None or quality == self.cfg.quality
+            else self._tables_for(quality)
+        )
+        tiled = np.tile(tables[:, None, :, :], (1, h // 8, 1, w // 8))  # (C,H/8,8,W)
         tiled = tiled.reshape(c, h // 8, 8, w)
         strips = np.broadcast_to(tiled[None], (b, c, h // 8, 8, w))
         return jnp.asarray(strips.reshape(b * c * (h // 8), 8, w))
@@ -289,10 +302,6 @@ class DCTCodec:
         version, coder, quality, h, w = struct.unpack_from(self._STREAM_HEADER, data, 0)
         if version != self._STREAM_VERSION:
             raise ValueError(f"unknown DCT stream version {version}")
-        if quality != self.cfg.quality:
-            raise ValueError(
-                f"stream quality {quality} != codec quality {self.cfg.quality}"
-            )
         n = 3 * h * w
         payload = data[hdr:]
         if coder == 1:
@@ -307,7 +316,7 @@ class DCTCodec:
         else:
             raise ValueError(f"unknown entropy coder id {coder}")
         sym = jnp.asarray(sym.astype(np.float32)).reshape(3 * (h // 8), 8, w)
-        qstrips = self._qtable_strips(1, 3, h, w)
+        qstrips = self._qtable_strips(1, 3, h, w, quality=quality)
         deq_strips = sym * qstrips
         # inverse transform only
         d = jnp.asarray(_dct_matrix())

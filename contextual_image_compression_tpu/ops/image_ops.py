@@ -166,10 +166,15 @@ def bilateral_filter(
             )
             space_w = math.exp(space_coeff * r2)
             diff = shifted - x
-            t = color_coeff * diff * diff
             if unit_range:
+                # The truncated-Taylor range kernel is only valid for
+                # |diff| <= 1; clamp so an unnormalized caller degrades to a
+                # saturated weight instead of a negative one.
+                diff = jnp.clip(diff, -1.0, 1.0)
+                t = color_coeff * diff * diff
                 range_w = 1.0 + t * (1.0 + 0.5 * t)
             else:
+                t = color_coeff * diff * diff
                 range_w = jnp.exp(t)
             wgt = space_w * range_w
             num = num + wgt * shifted

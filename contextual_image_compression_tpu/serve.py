@@ -69,10 +69,14 @@ class CompressionPipeline:
                 ).load_components(template)
             else:
                 variables, self.provenance = template, {"all": "init"}
+        else:
+            self.provenance = {"all": "provided"}
         self.variables = cast_floats(variables, jnp.bfloat16)
+        self._compiled_batches: set = set()
 
         scfg = self.scfg
         codec = self.codec
+        coeff = float(self.mcfg.quantizer.scale_coeff)
 
         def _run(variables, imgs_u8, bpp):
             mask = mask_ops.compute_contextual_mask(imgs_u8, scfg)[..., None]
@@ -82,6 +86,19 @@ class CompressionPipeline:
             )
             decoded = (out.blended.astype(jnp.float32) + 1.0) * 127.5
             decoded = jnp.clip(jnp.round(decoded), 0, 255).astype(jnp.uint8)
+            # Integer bitstream symbols, emitted ON DEVICE in fp32 from the
+            # pre-quantization latents: reconstructing them on the host from
+            # the bf16-stored dequantized latents drifts by ~|symbol|/512 for
+            # large symbols (bf16 has an 8-bit mantissa).
+            qs = out.quant_strength.astype(jnp.float32)
+            hq_scale = jnp.exp(
+                coeff * qs * (1.0 - out.hq_saliency_quant.astype(jnp.float32))
+            )
+            lq_scale = jnp.exp(
+                coeff * qs * (1.0 - out.lq_saliency_quant.astype(jnp.float32))
+            )
+            hq_sym = jnp.round(out.hq_latent.astype(jnp.float32) * hq_scale)
+            lq_sym = jnp.round(out.lq_latent.astype(jnp.float32) * lq_scale)
             return decoded, {
                 "bit_allocation": out.dynamic_threshold[..., 0],
                 "hq_latent_q": out.hq_latent_q,
@@ -89,6 +106,10 @@ class CompressionPipeline:
                 "hq_saliency": out.hq_saliency_quant,
                 "lq_saliency": out.lq_saliency_quant,
                 "quant_strength": out.quant_strength,
+                "hq_symbols": hq_sym,
+                "lq_symbols": lq_sym,
+                "hq_scale": hq_scale[:, 0],
+                "lq_scale": lq_scale[:, 0],
                 "mask": mask[..., 0],
             }
 
@@ -99,29 +120,44 @@ class CompressionPipeline:
         dummy = jnp.zeros((batch, h, w, self.mcfg.channels), jnp.uint8)
         self(np.asarray(dummy), target_bpp=1.0)
 
+    def _padded_batch(self, b: int) -> int:
+        """Pick the execution batch for a request of b images: the smallest
+        already-compiled batch size that fits, else the next power of two
+        (which then joins the compiled set). Ragged tail batches therefore
+        reuse an existing executable instead of triggering a multi-second
+        recompile per novel size."""
+        fitting = [c for c in self._compiled_batches if c >= b]
+        if fitting:
+            return min(fitting)
+        p = 1
+        while p < b:
+            p *= 2
+        return p
+
     def __call__(
         self, images_u8: np.ndarray, target_bpp: float = 1.0
     ) -> Tuple[np.ndarray, Dict]:
         b = images_u8.shape[0]
-        bpp = jnp.full((b, 1), float(target_bpp), jnp.bfloat16)
+        bp = self._padded_batch(b)
+        if bp != b:
+            pad = np.zeros((bp - b,) + images_u8.shape[1:], images_u8.dtype)
+            images_u8 = np.concatenate([np.asarray(images_u8), pad], axis=0)
+        bpp = jnp.full((bp, 1), float(target_bpp), jnp.bfloat16)
         decoded, info = self._run(self.variables, jnp.asarray(images_u8), bpp)
+        self._compiled_batches.add(bp)
+        if bp != b:
+            decoded = decoded[:b]
+            info = {k: v[:b] for k, v in info.items()}
         return np.asarray(decoded), info
 
     def serialize_latents(self, info: Dict) -> Tuple[List[Tuple[bytes, bytes]], np.ndarray]:
         """Entropy-code the quantized latents into real per-image bitstreams;
-        returns (streams, measured bits-per-pixel). See module caveat."""
-        coeff = self.mcfg.quantizer.scale_coeff
-        qs = np.asarray(info["quant_strength"], np.float32)[:, 0]
-        hq_scales = np.exp(
-            coeff * qs * (1.0 - np.asarray(info["hq_saliency"], np.float32)[:, 0])
-        )
-        lq_scales = np.exp(
-            coeff * qs * (1.0 - np.asarray(info["lq_saliency"], np.float32)[:, 0])
-        )
-        streams = bs.pack_codec_latents(
-            np.asarray(info["hq_latent_q"], np.float32),
-            np.asarray(info["lq_latent_q"], np.float32),
-            hq_scales,
-            lq_scales,
+        returns (streams, measured bits-per-pixel). Uses the exact integer
+        symbols emitted on device by the forward pass. See module caveat."""
+        streams = bs.pack_codec_symbols(
+            np.asarray(info["hq_symbols"], np.float32),
+            np.asarray(info["lq_symbols"], np.float32),
+            np.asarray(info["hq_scale"], np.float32),
+            np.asarray(info["lq_scale"], np.float32),
         )
         return streams, bs.measured_bpp(streams, self.mcfg.img_size)

@@ -81,6 +81,16 @@ def test_stream_encode_decode_roundtrip():
     # decode guards
     with pytest.raises(ValueError):
         codec.decode_stream(b"\x09" + stream[1:])
+
+
+def test_stream_decode_cross_quality():
+    """Streams are self-contained: a codec configured at a different quality
+    decodes using the header's quality byte, bit-identically to the encoder's
+    own decode."""
+    img = jnp.asarray(synthetic_images(1, (64, 64), seed=9)[0])
+    enc = dct_mod.DCTCodec(DCTCodecConfig(quality=60, use_pallas=False))
+    stream = enc.encode_stream(img)
     other = dct_mod.DCTCodec(DCTCodecConfig(quality=90, use_pallas=False))
-    with pytest.raises(ValueError):
-        other.decode_stream(stream)
+    np.testing.assert_array_equal(
+        np.asarray(other.decode_stream(stream)), np.asarray(enc.decode_stream(stream))
+    )
