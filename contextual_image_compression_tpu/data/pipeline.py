@@ -79,9 +79,37 @@ class CompressionDataset:
     # the safe default for large corpora); scripts/train_gan.py enables it when
     # the corpus fits comfortably in HBM.
     device_resident: bool = False
+    # Multi-host data sharding (parallel.initialize_multihost): construct with
+    # the GLOBAL batch_size and this process's (process_index, process_count);
+    # the dataset keeps the strided corpus shard
+    # images[process_index::process_count] and yields LOCAL batches of
+    # batch_size // process_count samples with a per-process RNG stream.
+    # parallel.sharding.shard_batch assembles the global array from the
+    # per-process shards. After construction the fields are normalized to the
+    # local view (batch_size becomes the local batch, process_count 1) so that
+    # dataclasses.replace-based views (with_target_bpp) don't re-slice.
+    # Defaults are the single-process degenerate case.
+    process_index: int = 0
+    process_count: int = 1
 
     def __post_init__(self):
         assert len(self.images) == len(self.masks)
+        if not (0 <= self.process_index < self.process_count):
+            raise ValueError(
+                f"process_index {self.process_index} out of range for "
+                f"process_count {self.process_count}"
+            )
+        if self.batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch_size {self.batch_size} not divisible by "
+                f"process_count {self.process_count}"
+            )
+        if self.process_count > 1:
+            self.images = self.images[self.process_index :: self.process_count]
+            self.masks = self.masks[self.process_index :: self.process_count]
+            self.batch_size //= self.process_count
+            self.seed += self.process_index  # disjoint shuffle/bpp streams
+            self.process_index, self.process_count = 0, 1
         self._rng = np.random.RandomState(self.seed)
         if self.device_resident:
             self._dev_images = jnp.asarray(self.images)

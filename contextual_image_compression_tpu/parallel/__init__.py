@@ -6,4 +6,7 @@ sharding of the dominant dense kernels, with XLA inserting all collectives.
 """
 
 from contextual_image_compression_tpu.parallel.mesh import create_mesh as create_mesh
+from contextual_image_compression_tpu.parallel.mesh import (
+    initialize_multihost as initialize_multihost,
+)
 from contextual_image_compression_tpu.parallel import sharding as sharding

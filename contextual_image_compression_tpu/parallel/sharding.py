@@ -71,4 +71,20 @@ def shard_state(state: Any, mesh: Mesh,
 
 
 def shard_batch(batch: Any, mesh: Mesh):
-    return jax.device_put(batch, batch_shardings(batch, mesh))
+    """Place a batch on the mesh's 'data' axis.
+
+    Single-process: a plain device_put of the (globally visible) batch.
+    Multi-process (after parallel.initialize_multihost): each process passes its
+    LOCAL shard of the batch (see CompressionDataset's process_index /
+    process_count fields) and the global array is assembled from the per-process
+    pieces without any cross-host data movement."""
+    shardings = batch_shardings(batch, mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda leaf, sh: jax.make_array_from_process_local_data(
+                sh, np.asarray(leaf)
+            ),
+            batch,
+            shardings,
+        )
+    return jax.device_put(batch, shardings)
