@@ -141,6 +141,16 @@ class ModelConfig:
     # 'sigmoid' is the training-path blend; 'hard' reproduces the rebuilt eval graph's
     # binary threshold (reference: GAN_test.py:193-195).
     threshold_mode: str = "sigmoid"  # 'sigmoid' | 'hard'
+    # Skip-connection routing. 'encoder' is the reference architecture: the
+    # generators concat encoder skip tensors that BYPASS the quantized latent
+    # (GAN_functions.py:256-266), so the latent bitstream alone cannot
+    # reconstruct an image. 'zero' feeds all-zero skips instead (same shapes,
+    # same parameter tree, checkpoint-compatible): every bit of image
+    # information is forced through the quantized latents, making the latent
+    # bitstream a true storable/decodable format (decode needs no encoder).
+    # Train with 'zero' (or fine-tune from an 'encoder' checkpoint) before
+    # serving it; see serve.CompressionPipeline.decode_from_bitstream.
+    skip_mode: str = "encoder"  # 'encoder' | 'zero'
     quantizer: QuantizerConfig = QuantizerConfig()
     dtype: str = "float32"  # compute dtype; 'bfloat16' for fast inference
     param_dtype: str = "float32"

@@ -181,6 +181,51 @@ class AdaptiveCodec:
             "rd_optimizer": self.rd_optimizer.init(keys[6], img, mask, bpp),
         }
 
+    def _zero_skips(self, batch: int, dtype) -> Tuple[jnp.ndarray, ...]:
+        """All-zero skip tensors with the encoder's output shapes
+        (skip_i: (B, H/2^i, W/2^i, encoder_channels[i-1]))."""
+        h, w = self.cfg.img_size
+        ch = self.cfg.encoder_channels
+        return tuple(
+            jnp.zeros((batch, h >> i, w >> i, ch[i - 1]), dtype)
+            for i in (1, 2, 3)
+        )
+
+    def decode_latents(
+        self,
+        variables: Dict[str, Any],
+        hq_latent_q: jnp.ndarray,
+        lq_latent_q: jnp.ndarray,
+        mask: jnp.ndarray,
+        target_bpp: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Decoder-only path: quantized latents + saliency mask + target bpp ->
+        blended image, with NO encoder in the loop (zero skips). This is the
+        decode side of the storable-codec format (skip_mode='zero'); with
+        skip_mode='encoder' checkpoints it reconstructs from the latent
+        information alone, i.e. what the bitstream actually stores.
+
+        The per-pixel blend uses the deterministic rate schedule
+        (GAN_functions.py:631-657 semantics), so the only side information
+        needed beyond the latents is the (downsampled) mask and the target
+        bpp -- both carried in the container stream (ops/bitstream.py).
+        """
+        ct = jnp.dtype(self.cfg.dtype)
+        zq_hq = hq_latent_q.astype(ct)
+        zq_lq = lq_latent_q.astype(ct)
+        mask = mask.astype(ct)
+        target_bpp = target_bpp.astype(ct)
+        skips = self._zero_skips(zq_hq.shape[0], ct)
+        _, threshold, _ = self.rd_schedule(target_bpp)
+        dyn_thr = self.dynamic_threshold(mask, threshold)
+        hq_out = self.hq_generator.apply(
+            variables["hq_generator"], zq_hq, skips, train=False
+        )
+        lq_out = self.lq_generator.apply(
+            variables["lq_generator"], zq_lq, skips, train=False
+        )
+        return hq_out * dyn_thr + lq_out * (1.0 - dyn_thr)
+
     def rd_schedule(self, target_bpp: jnp.ndarray):
         """The deterministic rate-parameter schedule actually applied by the codec
         (reference: GAN_functions.py:631-649). target_bpp: (B, 1)."""
@@ -273,6 +318,12 @@ class AdaptiveCodec:
         else:
             hq_latent, hq_skips = run("hq_encoder", self.hq_encoder, img)
             lq_latent, lq_skips = run("lq_encoder", self.lq_encoder, img)
+
+        if cfg.skip_mode == "zero":
+            # Storable-codec mode: sever the encoder->generator bypass so the
+            # quantized latents carry ALL image information (see ModelConfig).
+            hq_skips = self._zero_skips(img.shape[0], ct)
+            lq_skips = hq_skips
 
         ls_hq_vars = variables["latent_saliency_hq"]
         ls_lq_vars = variables["latent_saliency_lq"]

@@ -133,3 +133,97 @@ def measured_bpp(streams: List[Tuple[bytes, bytes]], img_hw: Tuple[int, int]) ->
     accounting)."""
     hw = float(img_hw[0] * img_hw[1])
     return np.array([8.0 * (len(h) + len(l)) / hw for h, l in streams], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Self-contained container: everything a decoder needs (no encoder in the loop)
+# ---------------------------------------------------------------------------
+#
+# Layout (little-endian):
+#   [magic 'CICZ'][uint8 version=1][uint16 H][uint16 W][float32 target_bpp]
+#   [uint16 mh][uint16 mw][uint8 mask_coder][uint32 mask_len][mask payload]
+#   [uint32 hq_len][hq latent stream][uint32 lq_len][lq latent stream]
+#
+# The mask block stores the smooth saliency mask downsampled (default 8x) and
+# quantized to uint8, entropy-coded; it drives the per-pixel HQ/LQ blend at
+# decode (GAN_functions.py:651-657 semantics). The latent streams are
+# pack_latent/pack_symbols streams (scale in their own headers). Decoding needs
+# only generator weights -- see models/adaptive.AdaptiveCodec.decode_latents and
+# serve.CompressionPipeline.decode_from_bitstream. The reference has no decodable
+# format at all (bpp is analytic, GAN_test.py:314-325).
+
+_CONTAINER_MAGIC = b"CICZ"
+_CONTAINER_VERSION = 1
+_CONTAINER_HEAD = struct.Struct("<4sBHHf")
+_MASK_HEAD = struct.Struct("<HHBI")
+
+
+def _mask_to_u8(mask: np.ndarray, downsample: int) -> np.ndarray:
+    """(H, W) float [0,1] -> (H/ds, W/ds) uint8 via box-average (the mask is
+    already Gaussian-smoothed, so box decimation loses little)."""
+    h, w = mask.shape
+    ds = max(1, int(downsample))
+    hh, ww = h // ds, w // ds
+    m = mask[: hh * ds, : ww * ds].reshape(hh, ds, ww, ds).mean(axis=(1, 3))
+    return np.clip(np.round(m * 255.0), 0, 255).astype(np.uint8)
+
+
+def pack_container(
+    hq_stream: bytes,
+    lq_stream: bytes,
+    mask: np.ndarray,          # (H, W) float in [0, 1]
+    target_bpp: float,
+    img_hw: Tuple[int, int],
+    mask_downsample: int = 8,
+) -> bytes:
+    mu8 = _mask_to_u8(np.asarray(mask, np.float32), mask_downsample)
+    coder, payload = _encode_payload(mu8.astype(np.int16).ravel())
+    return b"".join(
+        (
+            _CONTAINER_HEAD.pack(
+                _CONTAINER_MAGIC, _CONTAINER_VERSION,
+                img_hw[0], img_hw[1], float(target_bpp),
+            ),
+            _MASK_HEAD.pack(mu8.shape[0], mu8.shape[1], coder, len(payload)),
+            payload,
+            struct.pack("<I", len(hq_stream)), hq_stream,
+            struct.pack("<I", len(lq_stream)), lq_stream,
+        )
+    )
+
+
+def unpack_container(data: bytes):
+    """Returns dict with keys: hq_latent (dequantized fp32), lq_latent,
+    hq_scale, lq_scale, mask_small (float [0,1], (mh,mw)), target_bpp,
+    img_hw."""
+    magic, version, h, w, target_bpp = _CONTAINER_HEAD.unpack_from(data, 0)
+    if magic != _CONTAINER_MAGIC:
+        raise ValueError("not a CICZ container stream")
+    if version != _CONTAINER_VERSION:
+        raise ValueError(f"unknown container version {version}")
+    off = _CONTAINER_HEAD.size
+    mh, mw, mcoder, mlen = _MASK_HEAD.unpack_from(data, off)
+    off += _MASK_HEAD.size
+    mask_small = (
+        _decode_payload(data[off : off + mlen], mh * mw, mcoder)
+        .astype(np.float32)
+        .reshape(mh, mw)
+        / 255.0
+    )
+    off += mlen
+    (hq_len,) = struct.unpack_from("<I", data, off)
+    off += 4
+    hq_latent, hq_scale = unpack_latent(data[off : off + hq_len])
+    off += hq_len
+    (lq_len,) = struct.unpack_from("<I", data, off)
+    off += 4
+    lq_latent, lq_scale = unpack_latent(data[off : off + lq_len])
+    return {
+        "hq_latent": hq_latent,
+        "lq_latent": lq_latent,
+        "hq_scale": hq_scale,
+        "lq_scale": lq_scale,
+        "mask_small": mask_small,
+        "target_bpp": float(target_bpp),
+        "img_hw": (int(h), int(w)),
+    }

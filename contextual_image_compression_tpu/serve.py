@@ -115,6 +115,19 @@ class CompressionPipeline:
 
         self._run = jax.jit(_run)
 
+        def _decode(variables, hq_latent, lq_latent, mask_small, bpp):
+            h, w = self.mcfg.img_size
+            mask = jax.image.resize(
+                mask_small, (mask_small.shape[0], h, w), method="bilinear"
+            )[..., None]
+            img = codec.decode_latents(
+                variables, hq_latent, lq_latent, mask, bpp
+            )
+            decoded = (img.astype(jnp.float32) + 1.0) * 127.5
+            return jnp.clip(jnp.round(decoded), 0, 255).astype(jnp.uint8)
+
+        self._decode = jax.jit(_decode)
+
     def warmup(self, batch: int) -> None:
         h, w = self.mcfg.img_size
         dummy = jnp.zeros((batch, h, w, self.mcfg.channels), jnp.uint8)
@@ -161,3 +174,47 @@ class CompressionPipeline:
             np.asarray(info["lq_scale"], np.float32),
         )
         return streams, bs.measured_bpp(streams, self.mcfg.img_size)
+
+    # ------------------------------------------------- storable codec format
+    def encode_to_bitstream(
+        self,
+        images_u8: np.ndarray,
+        target_bpp: float = 1.0,
+        mask_downsample: int = 8,
+    ) -> List[bytes]:
+        """Encode a uint8 batch to self-contained per-image container streams
+        (latents + downsampled mask + target bpp -- everything decode needs,
+        ops/bitstream.pack_container). For a faithful round trip the model
+        should be trained with skip_mode='zero' (see ModelConfig.skip_mode):
+        with the reference's 'encoder' skips, decoding from the bitstream
+        reconstructs only what the latents carry."""
+        _, info = self(images_u8, target_bpp=target_bpp)
+        latent_streams, _ = self.serialize_latents(info)
+        mask = np.asarray(info["mask"], np.float32)
+        return [
+            bs.pack_container(
+                hq, lq, mask[i], target_bpp, self.mcfg.img_size, mask_downsample
+            )
+            for i, (hq, lq) in enumerate(latent_streams)
+        ]
+
+    def decode_from_bitstream(self, streams) -> np.ndarray:
+        """bytes -> decoded uint8 images, with NO encoder in the loop: unpack
+        latents + mask, run the generator-only decoder
+        (AdaptiveCodec.decode_latents). Accepts one stream or a list."""
+        if isinstance(streams, (bytes, bytearray)):
+            streams = [streams]
+        parts = [bs.unpack_container(s) for s in streams]
+        h, w = self.mcfg.img_size
+        for p in parts:
+            if p["img_hw"] != (h, w):
+                raise ValueError(
+                    f"stream image size {p['img_hw']} != pipeline {(h, w)}"
+                )
+        hq = jnp.asarray(np.stack([p["hq_latent"] for p in parts]))
+        lq = jnp.asarray(np.stack([p["lq_latent"] for p in parts]))
+        mask_small = jnp.asarray(np.stack([p["mask_small"] for p in parts]))
+        bpp = jnp.asarray(
+            np.array([[p["target_bpp"]] for p in parts], np.float32)
+        )
+        return np.asarray(self._decode(self.variables, hq, lq, mask_small, bpp))

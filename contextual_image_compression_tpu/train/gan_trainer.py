@@ -86,12 +86,17 @@ class GANStepBuilder:
     # Discriminator BN mode, separately controllable: the reference's D always runs
     # with inference-mode BN on never-updated moving stats (GAN_train.py:198-224 calls
     # it without training=True), which keeps D weak and the adversarial game near
-    # equilibrium (d_loss ~ 0.69). 'frozen' reproduces that; None follows bn_mode.
+    # equilibrium (d_loss ~ 0.69). None resolves to 'frozen': batch-stat D BN
+    # was MEASURED to destabilize the game at reference scale in two
+    # independent runs (round-1 ref_scale: d_loss 3.6-10; round-3 r3_fixed
+    # first attempt: d_loss 5.7-6.5 by epoch 5 vs the ~0.69 equilibrium), so
+    # the shipping default is the stable configuration; pass 'train'
+    # explicitly to experiment with batch-stat D BN.
     disc_bn_mode: Optional[str] = None
 
     def __post_init__(self):
         if self.disc_bn_mode is None:
-            self.disc_bn_mode = self.bn_mode
+            self.disc_bn_mode = "frozen"
         if self.codec is None:
             self.codec = AdaptiveCodec(self.cfg.model)
         self.disc = self.codec.discriminator()

@@ -58,7 +58,13 @@ class GANTrainer:
         disc_bn_mode: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         nan_guard: bool = False,
+        save_mode: str = "background",
     ):
+        # 'background': HBM snapshot + writer thread; 'host': blocking
+        # device->host serialization with zero extra HBM (see save()).
+        if save_mode not in ("background", "host"):
+            raise ValueError(f"unknown save_mode {save_mode!r}")
+        self.save_mode = save_mode
         self.cfg = cfg
         self.mesh = mesh
         self.log = log_fn
@@ -339,16 +345,17 @@ class GANTrainer:
         continues. The reference has no analogue (its Keras saves block,
         GAN_train.py:547-581); on remote-TPU runtimes a blocking save of the
         ~2.4 GB state costs minutes per save point.
+
+        save_mode='host' (trainer constructor) skips the HBM snapshot entirely:
+        the state is serialized straight to host memory, blocking, with zero
+        extra HBM. Use when HBM headroom is gone -- the background mode's
+        transient second copy of the ~5 GB state OOMed the perceptual-loss
+        reference-scale run (VGG activations + device-resident corpus +
+        2x state > one v5e chip).
         """
         import threading
 
-        # Join the previous writer BEFORE snapshotting: two live snapshots of the
-        # ~5 GB train state (plus the state itself and a device-resident corpus)
-        # exceed one chip's HBM -- observed as RESOURCE_EXHAUSTED when the final
-        # save overlapped the last epoch-tagged save.
-        self._join_saver()
-        # device-side snapshot (HBM->HBM, milliseconds)
-        snapshot = jax.tree.map(jnp.copy, (
+        state_tuple = (
             self.state.codec_vars,
             self.state.disc_vars,
             {
@@ -358,7 +365,21 @@ class GANTrainer:
                 "d_opt": self.state.d_opt,
                 "step": self.state.step,
             },
-        ))
+        )
+        if self.save_mode == "host":
+            # no steps are in flight between epochs; read the live buffers
+            # directly to host (no jnp.copy), then write synchronously
+            snapshot = jax.tree.map(lambda x: np.asarray(x), state_tuple)
+            blocking = True
+        else:
+            # Join the previous writer BEFORE snapshotting: two live snapshots
+            # of the ~5 GB train state (plus the state itself and a
+            # device-resident corpus) exceed one chip's HBM -- observed as
+            # RESOURCE_EXHAUSTED when the final save overlapped the last
+            # epoch-tagged save.
+            self._join_saver()
+            # device-side snapshot (HBM->HBM, milliseconds)
+            snapshot = jax.tree.map(jnp.copy, state_tuple)
         # History length IS the global epoch count (it includes restored epochs).
         epoch = len(self.history["g_loss"])
         history = {k: list(v) for k, v in self.history.items()}

@@ -37,8 +37,16 @@ def main():
                    "optimizer states, BN statistics, and losses")
     p.add_argument("--bn-mode", choices=["train", "frozen"], default="train")
     p.add_argument("--disc-bn-mode", choices=["train", "frozen"], default=None,
-                   help="discriminator BN mode; default follows --bn-mode. The "
-                   "reference's D effectively runs frozen (GAN_train.py:198-224)")
+                   help="discriminator BN mode; default 'frozen' (batch-stat D "
+                   "BN measurably destabilizes the adversarial game -- see "
+                   "train/gan_trainer.py). The reference's D effectively runs "
+                   "frozen (GAN_train.py:198-224)")
+    p.add_argument("--save-mode", choices=["background", "host"],
+                   default="background",
+                   help="'background': HBM snapshot + writer thread (fast, but "
+                   "transiently doubles the ~5 GB train state in HBM); 'host': "
+                   "blocking device->host serialization with no HBM copy (use "
+                   "when HBM is tight, e.g. perceptual-loss runs)")
     p.add_argument("--broadcast-quirk", action="store_true",
                    help="reproduce the reference's (B,B) TF broadcast in the "
                    "latent-saliency and bitrate losses (GAN_train.py:307-335)")
@@ -134,7 +142,8 @@ def main():
         print(f"Mesh: {dict(mesh.shape)}")
 
     trainer = GANTrainer(cfg, mesh=mesh, bn_mode=args.bn_mode,
-                         disc_bn_mode=args.disc_bn_mode)
+                         disc_bn_mode=args.disc_bn_mode,
+                         save_mode=args.save_mode)
     trainer.init_state(resume=not args.no_resume)
     if not args.fine_tune_only:
         trainer.fit(dataset)

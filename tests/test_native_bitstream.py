@@ -128,3 +128,28 @@ def test_measured_bpp_sane(rng):
     assert (bpp > 0).all()
     # far below the analytic 32-bits-per-float model
     assert (bpp < 0.25).all()
+
+
+def test_container_pack_unpack(rng):
+    """Self-contained CICZ container: latents + downsampled mask + target bpp."""
+    from contextual_image_compression_tpu.ops import bitstream as bs
+
+    hq = np.round(rng.randn(128).astype(np.float32) * 20)
+    lq = np.round(rng.randn(64).astype(np.float32) * 20)
+    mask = rng.rand(64, 64).astype(np.float32)
+    stream = bs.pack_container(
+        bs.pack_symbols(hq, 4.0), bs.pack_symbols(lq, 2.0),
+        mask, target_bpp=1.5, img_hw=(64, 64), mask_downsample=8,
+    )
+    got = bs.unpack_container(stream)
+    np.testing.assert_allclose(got["hq_latent"] * got["hq_scale"], hq, atol=1e-5)
+    np.testing.assert_allclose(got["lq_latent"] * got["lq_scale"], lq, atol=1e-5)
+    assert got["img_hw"] == (64, 64) and abs(got["target_bpp"] - 1.5) < 1e-6
+    assert got["mask_small"].shape == (8, 8)
+    # box-averaged u8 mask within quantization error
+    want = mask.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+    np.testing.assert_allclose(got["mask_small"], want, atol=1 / 255.0 + 1e-6)
+    import pytest
+
+    with pytest.raises(ValueError, match="container"):
+        bs.unpack_container(b"XXXX" + stream[4:])

@@ -64,6 +64,72 @@ def test_pipeline_device_symbols_match_quantized_latents(rng):
     assert np.all(sym == np.round(sym))
 
 
+def test_storable_codec_bitstream_roundtrip(rng):
+    """skip_mode='zero': encode_to_bitstream -> bytes -> decode_from_bitstream
+    with NO encoder in the loop must match the pipeline's own decoded output
+    (the only differences come from the 8x-downsampled uint8 mask in the
+    container driving the blend)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_small_cfg(), skip_mode="zero")
+    pipe = CompressionPipeline(model_config=cfg)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    direct, info = pipe(imgs, target_bpp=1.0)
+    streams = pipe.encode_to_bitstream(imgs, target_bpp=1.0, mask_downsample=8)
+    assert len(streams) == 2 and all(isinstance(s, bytes) for s in streams)
+    decoded = pipe.decode_from_bitstream(streams)
+    assert decoded.shape == direct.shape and decoded.dtype == np.uint8
+    # bit-exact latents; only the mask coarsening perturbs the blend
+    diff = np.abs(decoded.astype(np.int32) - direct.astype(np.int32))
+    assert np.mean(diff) < 4.0, f"mean abs diff {np.mean(diff)}"
+    # single-stream decode works too
+    one = pipe.decode_from_bitstream(streams[0])
+    np.testing.assert_array_equal(one[0], decoded[0])
+
+
+def test_storable_codec_mask_fidelity(rng):
+    """With no mask downsampling the bitstream decode matches the direct
+    forward almost exactly (u8 mask quantization only)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_small_cfg(), skip_mode="zero")
+    pipe = CompressionPipeline(model_config=cfg)
+    imgs = rng.randint(0, 256, (1, 64, 64, 3)).astype(np.uint8)
+    direct, _ = pipe(imgs, target_bpp=0.1)
+    decoded = pipe.decode_from_bitstream(
+        pipe.encode_to_bitstream(imgs, target_bpp=0.1, mask_downsample=1)
+    )
+    diff = np.abs(decoded.astype(np.int32) - direct.astype(np.int32))
+    assert np.mean(diff) < 1.0 and np.max(diff) <= 16, (
+        f"mean {np.mean(diff)}, max {np.max(diff)}"
+    )
+
+
+def test_zero_skips_sever_encoder_bypass(rng):
+    """In skip_mode='zero' the generators see only the quantized latents:
+    decode_latents reproduces the full forward's blended output exactly."""
+    import dataclasses
+    import jax
+
+    from contextual_image_compression_tpu.models.adaptive import AdaptiveCodec
+
+    cfg = dataclasses.replace(
+        _small_cfg(), skip_mode="zero", dtype="float32"
+    )
+    codec = AdaptiveCodec(cfg)
+    variables = codec.init(jax.random.PRNGKey(0), batch_size=1)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    mask = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32))
+    bpp = jnp.full((2, 1), 1.0, jnp.float32)
+    out, _ = codec.apply(variables, img, mask, bpp, train=False)
+    rebuilt = codec.decode_latents(
+        variables, out.hq_latent_q, out.lq_latent_q, mask, bpp
+    )
+    np.testing.assert_allclose(
+        np.asarray(rebuilt), np.asarray(out.blended), atol=1e-5
+    )
+
+
 def test_pipeline_ragged_tail_batch(rng):
     """A ragged final batch pads up to a compiled bucket and slices back --
     results must match the same images run at their natural batch size."""
