@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""On-TPU Pallas kernel selftest: assert Mosaic-lowered kernels against their
+jnp formulations ON THE REAL CHIP at production shapes.
+
+The pytest suite runs every Pallas kernel under interpret=True on CPU
+(tests/conftest.py forces the CPU platform for mesh tests), which would hide
+Mosaic lowering bugs; this script closes that blind spot (VERDICT round 2,
+item 3). Run on hardware and commit the captured output:
+
+    python scripts/tpu_selftest.py | tee runs/tpu_selftest.log
+
+Covers, at the shapes the production pipeline actually uses:
+  * adaptive quantizer forward + both custom VJPs ('reference' and 'ste'
+    grad modes) vs the jnp/autodiff formulation  (ops/quantize.py)
+  * fused attention block forward + gradients vs attention_block_jnp
+    (ops/attention.py; 32x32x256 HQ-encoder shape, GAN_functions.py:333-374)
+  * fully fused contextual mask kernel vs the unfused jnp saliency/mask path
+    (ops/fused_mask.py vs ops/saliency.py + ops/masks.py)
+  * fused DCT strip codec vs _dct_strips_jnp  (ops/dct.py)
+  * one fused GAN train step at reference scale: all metrics finite
+"""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PASSED = []
+
+
+def check(name, got, want, atol, rtol=0.0):
+    got, want = np.asarray(got), np.asarray(want)
+    err = np.max(np.abs(got - want) - rtol * np.abs(want))
+    ok = err <= atol
+    print(f"  {'PASS' if ok else 'FAIL'} {name}: max_err={err:.3e} (atol={atol:g})")
+    if not ok:
+        raise AssertionError(f"{name}: max_err {err} > atol {atol}")
+    PASSED.append(name)
+
+
+def main():
+    backend = jax.default_backend()
+    print(f"backend: {backend}, device: {jax.devices()[0].device_kind}")
+    if backend != "tpu":
+        print("WARNING: not on TPU -- this run does NOT validate Mosaic lowering")
+
+    rng = np.random.RandomState(0)
+
+    # ---------------- adaptive quantizer (ops/quantize.py) -------------------
+    from contextual_image_compression_tpu.config import QuantizerConfig
+    from contextual_image_compression_tpu.ops import quantize as Q
+
+    print("quantizer: fwd + VJPs, production shapes (B=128, D=1024)")
+    latent = jnp.asarray(rng.randn(128, 1024).astype(np.float32) * 30)
+    score = jnp.asarray(rng.rand(128, 1).astype(np.float32))
+    strength = jnp.asarray(rng.rand(128, 1).astype(np.float32))
+
+    for mode in ("reference", "ste"):
+        pall = lambda l, s, q: Q.adaptive_quantize(
+            l, s, q, QuantizerConfig(use_pallas=True, grad_mode=mode)
+        )
+        ref = lambda l, s, q: Q.adaptive_quantize(
+            l, s, q, QuantizerConfig(use_pallas=False, grad_mode=mode)
+        )
+        check(f"quantize[{mode}] fwd", jax.jit(pall)(latent, score, strength),
+              jax.jit(ref)(latent, score, strength), atol=1e-5)
+
+        def loss(fn):
+            def f(l, s, q):
+                out = fn(l, s, q)
+                return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+            return f
+
+        gp = jax.jit(jax.grad(loss(pall), argnums=(0, 1, 2)))(latent, score, strength)
+        gj = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(latent, score, strength)
+        for name, a, b in zip(("d_latent", "d_score", "d_strength"), gp, gj):
+            check(f"quantize[{mode}] vjp {name}", a, b, atol=2e-3)
+
+    # ---------------- fused attention block (ops/attention.py) ---------------
+    from contextual_image_compression_tpu.ops import attention as A
+
+    print("attention: fused block fwd + grads, HQ-encoder shape (B=16, 1024, 256)")
+    b, n, c = 16, 1024, 256
+    q = jnp.asarray(rng.randn(b, n, c // 8).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.randn(b, n, c // 8).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.randn(b, n, c).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.randn(b, n, c).astype(np.float32) * 0.1)
+    gamma = jnp.float32(0.7)
+
+    out_p = jax.jit(A.attention_block_pallas)(q, k, v, res, gamma)
+    out_j = jax.jit(A.attention_block_jnp)(q, k, v, res, gamma)
+    check("attention fwd", out_p, out_j, atol=1e-4)
+
+    def aloss(fn):
+        return lambda *a: jnp.sum(jnp.tanh(fn(*a)))
+
+    gp = jax.jit(jax.grad(aloss(A.attention_block_pallas), argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, res, gamma
+    )
+    gj = jax.jit(jax.grad(aloss(A.attention_block_jnp), argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, res, gamma
+    )
+    for name, a_, b_ in zip(("dq", "dk", "dv", "dres", "dgamma"), gp, gj):
+        check(f"attention grad {name}", a_, b_, atol=1e-4)
+
+    # ---------------- fused contextual mask (ops/fused_mask.py) --------------
+    from contextual_image_compression_tpu.config import SaliencyConfig
+    from contextual_image_compression_tpu.ops import masks as M
+
+    print("fused mask engine: 256x256 production path vs unfused jnp path")
+    imgs = jnp.asarray(rng.rand(8, 256, 256, 3).astype(np.float32) * 2 - 1)
+    cfg_pallas = SaliencyConfig(mask_use_pallas=True)
+    cfg_jnp = SaliencyConfig(mask_use_pallas=False)
+    m_p = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(imgs)
+    m_j = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_jnp))(imgs)
+    # fused engine computes in its configured dtype (default bf16 internals);
+    # tolerance matches tests/test_fused_mask.py's bf16-vs-f32 bound
+    tol = 5e-2 if jnp.dtype(cfg_pallas.mask_engine_dtype) == jnp.bfloat16 else 1e-4
+    check("fused contextual mask", m_p, m_j, atol=tol)
+
+    # u8 wire format exactness vs float path
+    u8 = jnp.asarray(
+        np.clip(np.round((np.asarray(imgs) + 1) * 127.5), 0, 255).astype(np.uint8)
+    )
+    m_u8 = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(u8)
+    check("fused mask u8 == f32 wire", m_u8, m_p, atol=1e-5)
+
+    # ---------------- DCT strip codec (ops/dct.py) ----------------------------
+    from contextual_image_compression_tpu.config import DCTCodecConfig
+    from contextual_image_compression_tpu.ops.dct import DCTCodec
+
+    print("DCT codec: fused Pallas roundtrip vs jnp, 128x 256x256 images")
+    imgs_d = jnp.asarray(rng.rand(128, 256, 256, 3).astype(np.float32) * 2 - 1)
+    rec_p, sym_p = jax.jit(DCTCodec(DCTCodecConfig(use_pallas=True)).roundtrip)(imgs_d)
+    rec_j, sym_j = jax.jit(DCTCodec(DCTCodecConfig(use_pallas=False)).roundtrip)(imgs_d)
+    check("dct reconstruction", rec_p, rec_j, atol=1e-4)
+    check("dct symbols", sym_p, sym_j, atol=1e-3)
+
+    # ---------------- fused train step, reference scale ----------------------
+    from contextual_image_compression_tpu.config import TrainConfig
+    from contextual_image_compression_tpu.train.gan_trainer import Batch, GANStepBuilder
+
+    print("fused GAN train step at reference scale (256^2, batch 16): finiteness")
+    tcfg = TrainConfig(use_perceptual=False, batch_size=16)
+    builder = GANStepBuilder(tcfg)
+    state = builder.init_state(jax.random.PRNGKey(0), batch_size=16)
+    batch = Batch(
+        image=jnp.asarray(rng.rand(16, 256, 256, 3).astype(np.float32) * 2 - 1),
+        mask=jnp.asarray(rng.rand(16, 256, 256, 1).astype(np.float32)),
+        bpp=jnp.full((16, 1), 1.0, jnp.float32),
+    )
+    step_with_d, _ = builder.jitted_steps(donate=True)
+    _, metrics = step_with_d(state, batch)
+    vals = {kk: float(vv) for kk, vv in metrics.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    print(f"  PASS train step finite: { {kk: round(vv, 4) for kk, vv in vals.items()} }")
+    PASSED.append("train step finite")
+
+    print(f"\ntpu_selftest: {len(PASSED)} checks passed on backend={backend}")
+
+
+if __name__ == "__main__":
+    main()
