@@ -26,6 +26,8 @@ def main():
     p.add_argument("--img-size", type=int, default=None)
     p.add_argument("--base-latent-dim", type=int, default=None)
     p.add_argument("--threshold-mode", choices=["sigmoid", "hard"], default="sigmoid")
+    p.add_argument("--skip-mode", choices=["encoder", "zero"], default="encoder",
+                   help="evaluate the storable (zero-skip) codec variant")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -35,7 +37,7 @@ def main():
     from contextual_image_compression_tpu.eval import plots
     from contextual_image_compression_tpu.eval.harness import CodecEvaluator
 
-    mcfg = ModelConfig(threshold_mode=args.threshold_mode)
+    mcfg = ModelConfig(threshold_mode=args.threshold_mode, skip_mode=args.skip_mode)
     if args.img_size:
         mcfg = dataclasses.replace(
             mcfg, img_size=(args.img_size, args.img_size),

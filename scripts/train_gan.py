@@ -32,6 +32,11 @@ def main():
     p.add_argument("--vgg-weights", default="")
     p.add_argument("--no-perceptual", action="store_true")
     p.add_argument("--quant-grad-mode", choices=["ste", "reference"], default="ste")
+    p.add_argument("--skip-mode", choices=["encoder", "zero"], default="encoder",
+                   help="'zero' trains the storable codec (generators see no "
+                   "encoder skips; the latent bitstream alone reconstructs -- "
+                   "see ModelConfig.skip_mode). Checkpoint-compatible with "
+                   "'encoder' runs, so fine-tuning from one is supported")
     p.add_argument("--precision", choices=["float32", "mixed"], default="float32",
                    help="'mixed' = bfloat16 activations with float32 params, "
                    "optimizer states, BN statistics, and losses")
@@ -86,7 +91,8 @@ def main():
     if args.base_latent_dim:
         mcfg = dataclasses.replace(mcfg, base_latent_dim=args.base_latent_dim)
     mcfg = dataclasses.replace(
-        mcfg, quantizer=QuantizerConfig(grad_mode=args.quant_grad_mode)
+        mcfg, quantizer=QuantizerConfig(grad_mode=args.quant_grad_mode),
+        skip_mode=args.skip_mode,
     )
     if args.precision == "mixed":
         mcfg = dataclasses.replace(mcfg, dtype="bfloat16", param_dtype="float32")
