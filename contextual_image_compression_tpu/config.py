@@ -114,6 +114,11 @@ class ModelConfig:
     # v5e: the two half-output SLICES it feeds the encoders cost more than the
     # saved conv pass (codec 4986 -> 4685 img/s at b128), so default off.
     merge_first_conv: bool = False
+    # Lower the encoders' stride-2 conv2/conv3 as space-to-depth + k3/s1 convs
+    # with remapped kernels (models/layers.py::conv4s2_s2d_kernel): the same
+    # function with 4x the input lanes per MXU tap. Exact and differentiable;
+    # checkpoint layout unchanged. Default per measurement (see PERF_NOTES.md).
+    encoder_s2d_convs: bool = False
     # W8A8 int8 evaluation of the four giant latent/fc Dense layers (weight
     # streaming is their entire cost: ~800 MB of bf16 weights per forward).
     # Measured on v5e: LOSES (codec 5300 -> 4804 img/s at b128) -- the per-row

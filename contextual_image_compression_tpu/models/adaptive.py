@@ -100,6 +100,7 @@ class AdaptiveCodec:
             leaky_slope=self.cfg.leaky_slope,
             attention_use_pallas=self.cfg.attention_use_pallas,
             dense_int8=self.cfg.dense_int8,
+            s2d_convs=self.cfg.encoder_s2d_convs,
             **self._dt(),
         )
 
@@ -111,6 +112,7 @@ class AdaptiveCodec:
             channels=self.cfg.encoder_channels,
             leaky_slope=self.cfg.leaky_slope,
             dense_int8=self.cfg.dense_int8,
+            s2d_convs=self.cfg.encoder_s2d_convs,
             **self._dt(),
         )
 

@@ -40,6 +40,7 @@ class Encoder(nn.Module):
     leaky_slope: float = 0.2
     attention_use_pallas: bool = True
     dense_int8: bool = False  # W8A8 latent projection at inference (see KDense)
+    s2d_convs: bool = False  # conv2/conv3 via space-to-depth k3/s1 (see KConv)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -60,12 +61,12 @@ class Encoder(nn.Module):
         x1 = leaky_relu(x1, self.leaky_slope)
         skip1 = x1
 
-        x2 = KConv(c2, 4, 2, name="conv2", **dt)(x1)
+        x2 = KConv(c2, 4, 2, name="conv2", s2d=self.s2d_convs, **dt)(x1)
         x2 = KBatchNorm(name="bn2", **dt)(x2, use_running_average=not train)
         x2 = leaky_relu(x2, self.leaky_slope)
         skip2 = x2
 
-        x3 = KConv(c3, 4, 2, name="conv3", **dt)(x2)
+        x3 = KConv(c3, 4, 2, name="conv3", s2d=self.s2d_convs, **dt)(x2)
         x3 = KBatchNorm(name="bn3", **dt)(x3, use_running_average=not train)
         x3 = leaky_relu(x3, self.leaky_slope)
         skip3 = x3  # captured pre-attention (reference: GAN_functions.py:312)

@@ -23,17 +23,64 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+def space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channels (py, px, c)."""
+    b, h, w, c = x.shape
+    return (
+        x.reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w // 2, 4 * c)
+    )
+
+
+def conv4s2_s2d_kernel(k4):
+    """(4, 4, Cin, Cout) k4/s2 SAME kernel -> (3, 3, 4Cin, Cout) k3/s1 SAME
+    kernel over the space-to-depth(2) input; same function.
+
+    Tap dy of the strided conv reads pixel row 2m+dy-1 for output row m; in
+    s2d coordinates that is row (2m+dy-1)//2 phase (2m+dy-1)%2, so each dy
+    maps to exactly one (s2d row offset, phase): 0->(m-1,1), 1->(m,0),
+    2->(m,1), 3->(m+1,0) -- a k3 SAME window. The k3 read presents 4*Cin
+    input lanes per tap instead of Cin (fuller MXU input dimension;
+    experiment A, scripts/r3_perf_experiments.py)."""
+    cin, co = k4.shape[2], k4.shape[3]
+    w = jnp.zeros((3, 3, 4, cin, co), k4.dtype)
+    pos = {0: (0, 1), 1: (1, 0), 2: (1, 1), 3: (2, 0)}  # dy -> (row, phase)
+    for dy in range(4):
+        ry, py = pos[dy]
+        for dx in range(4):
+            rx, px = pos[dx]
+            w = w.at[ry, rx, py * 2 + px].set(k4[dy, dx])
+    return w.reshape(3, 3, 4 * cin, co)
+
+
 class KConv(nn.Module):
-    """Conv2D with keras defaults (glorot_uniform / zeros, SAME padding)."""
+    """Conv2D with keras defaults (glorot_uniform / zeros, SAME padding).
+
+    s2d=True lowers a 4x4/s2 conv as space-to-depth(2) + 3x3/s1 with the
+    remapped kernel (conv4s2_s2d_kernel) -- exact same function and the same
+    parameter tree (checkpoints interchangeable), differentiable (the layout
+    pass is a reshape/transpose), so it is valid in training and inference."""
 
     features: int
     kernel: int = 4
     stride: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d and self.kernel == 4 and self.stride == 2:
+            k, b = _ConvParamHolder(
+                self.features, x.shape[-1], 4, self.param_dtype, name="Conv_0"
+            )()
+            w3 = conv4s2_s2d_kernel(k.astype(self.dtype))
+            y = jax.lax.conv_general_dilated(
+                space_to_depth2(x.astype(self.dtype)), w3, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + b.astype(self.dtype)
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),

@@ -125,6 +125,44 @@ def strided_wstr(kernel: jnp.ndarray) -> jnp.ndarray:
     return w.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(4, 4, 4 * cin, 16 * cout)
 
 
+def s2d_wstr(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, Cin, Cout) conv kernel -> (2, 2, 16*Cin, 16*Cout) kernel applied
+    k2/s1 VALID over the space-to-depth(2) view of the padded planar tensor.
+
+    Same function as strided_wstr's stride-2 k4 read: tap (dy, dx) of the
+    strided kernel reads ypad[2T+dy, 2S+dx]; the s2d view at (T+ry, S+rx)
+    phase (py, px) holds ypad[2(T+ry)+py, 2(S+rx)+px], so dy = 2*ry+py maps
+    each strided tap to exactly one (ry, rx, phase) cell. Trades the stride-2
+    gather of a 128-channel tensor for a dense k2 read of 512 channels --
+    fuller MXU input lanes per tap (experiment C, scripts/r3_perf_experiments)."""
+    w_str = strided_wstr(kernel)  # (4, 4, 4*Cin, 16*Cout)
+    c4, co16 = w_str.shape[2], w_str.shape[3]
+    w = jnp.zeros((2, 2, 4, c4, co16), w_str.dtype)
+    for dy in range(4):
+        for dx in range(4):
+            w = w.at[dy // 2, dx // 2, (dy % 2) * 2 + (dx % 2)].set(w_str[dy, dx])
+    return w.reshape(2, 2, 4 * c4, co16)
+
+
+def packed_conv4x4s2_s2d(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
+    """packed_conv4x4s2_strided's function via a space-to-depth(2) layout pass:
+    pad the planar tensor one row/col, fold 2x2 planar blocks into channels
+    ((B, (H+1)/2+..., 4*4*Cin)), then one k2/s1 VALID conv emits the same
+    (B, H/2, W/2, 16*Cout) packed output. kernel: (4, 4, Cin, Cout)."""
+    w = s2d_wstr(kernel)
+    yp = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    b, hp, wp, c4 = yp.shape
+    ys = (
+        yp.reshape(b, hp // 2, 2, wp // 2, 2, c4)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, hp // 2, wp // 2, 4 * c4)
+    )
+    y = jax.lax.conv_general_dilated(
+        ys, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + tile_phases(bias, 16).astype(y.dtype)
+
+
 def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
     """4x4/s1 SAME conv over the virtual pixels, as ONE stride-2 4x4 conv read
     directly from the (boundary-masked) phase-planar tensor -- no layout pass.

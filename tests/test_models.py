@@ -67,6 +67,45 @@ def test_adaptive_codec_outputs():
     assert set(updates) == {"hq_encoder", "lq_encoder", "hq_generator", "lq_generator"}
 
 
+def test_encoder_s2d_convs_exact_same_function():
+    """encoder_s2d_convs lowers conv2/conv3 via space-to-depth + remapped
+    k3/s1 kernels (models/layers.py::conv4s2_s2d_kernel); same variables tree,
+    same outputs (up to float reassociation)."""
+    import dataclasses
+
+    from contextual_image_compression_tpu.models.encoder import Encoder
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    base = Encoder(latent_dim=32, add_attention=False, s2d_convs=False)
+    s2d = Encoder(latent_dim=32, add_attention=False, s2d_convs=True)
+    vars_ = base.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(
+        s2d.init(jax.random.PRNGKey(0), x, train=False)
+    ) == jax.tree_util.tree_structure(vars_)
+    lat_a, skips_a = base.apply(vars_, x, train=False)
+    lat_b, skips_b = s2d.apply(vars_, x, train=False)
+    np.testing.assert_allclose(np.asarray(lat_b), np.asarray(lat_a), atol=2e-4)
+    for sa, sb in zip(skips_a, skips_b):
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(sa), atol=2e-4)
+
+    # differentiable: a train-mode grad through the s2d form is finite
+    cfg = dataclasses.replace(SMALL, encoder_s2d_convs=True)
+    codec = AdaptiveCodec(cfg)
+    cv = codec.init(jax.random.PRNGKey(0), batch_size=2)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 0.1)
+    mask = jnp.full((2, 64, 64, 1), 0.5)
+    bpp = jnp.ones((2, 1))
+
+    def loss(v):
+        out, _ = codec.apply(v, img, mask, bpp, train=True)
+        return jnp.mean(out.blended**2)
+
+    g = jax.grad(loss)(cv)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
 def test_rd_schedule_reference_formulas():
     """(reference: GAN_functions.py:631-649)"""
     codec = AdaptiveCodec(SMALL)

@@ -17,6 +17,7 @@ from contextual_image_compression_tpu.models.packed_tail import (
     boundary_masks,
     deconv4x4s2_planar,
     depth_to_space4,
+    packed_conv4x4s2_s2d,
     packed_conv4x4s2_strided,
     packed_tail_forward,
 )
@@ -68,6 +69,26 @@ def test_packed_out_conv_matches_conv(rng):
     conv = nn.Conv(cout, (4, 4), strides=(1, 1), padding="SAME")
     y_ref = conv.apply({"params": {"kernel": ko, "bias": bo}}, jnp.asarray(z))
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_ref), atol=1e-4)
+
+
+def test_packed_out_conv_s2d_matches_strided(rng):
+    """The space-to-depth formulation of the packed out-conv is the same
+    function as the stride-2 read (both lower packed_conv4x4s2; see
+    s2d_wstr's tap-mapping derivation)."""
+    cin, cout = 8, 3
+    x = _rand(rng, 2, 8, 8, 16)
+    k4 = _rand(rng, 4, 4, 16, cin) * 0.2
+    ko = _rand(rng, 4, 4, cin, cout) * 0.2
+    bo = _rand(rng, cout)
+    yall = deconv4x4s2_planar(x, k4)
+    row_m, col_m = boundary_masks(8, cin)
+    yall = yall * jnp.asarray(row_m)[None, :, None, :]
+    yall = yall * jnp.asarray(col_m)[None, None, :, :]
+    y_strided = packed_conv4x4s2_strided(yall, ko, bo)
+    y_s2d = packed_conv4x4s2_s2d(yall, ko, bo)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_strided), atol=1e-4
+    )
 
 
 def test_packed_tail_full_pipeline(rng):
