@@ -29,17 +29,32 @@ DT = jnp.bfloat16
 
 
 def timeit(fn, *args, iters=20):
-    f = jax.jit(fn)
+    """ms/iter by bench.py's dispatch-chaining method, adapted for ops whose
+    output shape differs from the input: each timed step runs the op, reduces
+    the FULL output to one scalar (so XLA can neither DCE the op nor slice
+    backward through it -- jnp.ravel(y)[0] alone lets the simplifier turn a
+    conv into a 4x4 window!), and folds that scalar into element [0] of the
+    DONATED input buffer (in-place, no copy) to keep the chain shape-stable.
+    Calls serialize on the device queue; one scalar fetch forces completion;
+    T(1) is subtracted.  (lax.fori_loop deadlocks the remote Pallas compile
+    path on this runtime -- see bench.py.)"""
+
+    def step(x, *rest):
+        y = fn(x, *rest)
+        tag = (jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-30)).astype(x.dtype)
+        return x.at[(0,) * x.ndim].add(tag)
+
+    f = jax.jit(step, donate_argnums=0)
 
     def run(n):
+        x = jnp.copy(args[0])
         t0 = time.perf_counter()
-        x = args[0]
         for _ in range(n):
             x = f(x, *args[1:])
-        float(jnp.sum(jnp.ravel(x)[0:1]))
+        float(jnp.sum(x[(0,) * x.ndim]))
         return time.perf_counter() - t0
 
-    run(1)
+    run(1)  # compile + warm
     t1 = min(run(1) for _ in range(3))
     tn = min(run(iters) for _ in range(2))
     return max((tn - t1) / (iters - 1), 1e-9) * 1e3  # ms
@@ -104,10 +119,12 @@ def main():
         w3 = k4s2_to_k2s1_kernel(w4)
         t_s2d_only = timeit(lambda x, w: conv(x, w, 1), xs, w3)
         t_s2d_full = timeit(lambda x, w: conv(s2d(x), w, 1), x, w3)
-        # parity check
-        a = np.asarray(conv(x, w4, 2), np.float32)
-        b_ = np.asarray(conv(xs, w3, 1), np.float32)
-        err = np.max(np.abs(a - b_))
+        # parity check on device (full-tensor fetches over the relay take minutes)
+        err = float(jax.jit(
+            lambda x, xs, w4, w3: jnp.max(jnp.abs(
+                conv(x, w4, 2).astype(jnp.float32)
+                - conv(xs, w3, 1).astype(jnp.float32)))
+        )(x, xs, w4, w3))
         print(f"A {name}: native_k4s2={t_native:.3f}ms  s2d_conv_only={t_s2d_only:.3f}ms  "
               f"s2d_incl_layout={t_s2d_full:.3f}ms  parity_err={err:.2e}")
 
@@ -151,40 +168,49 @@ def main():
     ys = s2d(yp)
     t_s2d_only = timeit(lambda y: conv_valid(y, w_s2d, 1), ys)
     t_s2d_full = timeit(out_s2d, yall)
-    a = np.asarray(packed_conv4x4s2_strided(yall, ko, bo), np.float32)
-    b_ = np.asarray(out_s2d(yall), np.float32) + np.asarray(
-        jnp.tile(bo.astype(jnp.float32), 16)
-    )
-    err = np.max(np.abs(a - b_))
+    err = float(jax.jit(
+        lambda y: jnp.max(jnp.abs(
+            packed_conv4x4s2_strided(y, ko, bo).astype(jnp.float32)
+            - (out_s2d(y).astype(jnp.float32) + jnp.tile(bo.astype(jnp.float32), 16))))
+    )(yall))
     print(f"C out-conv: current_k4s2={t_cur:.3f}ms  s2d_conv_only={t_s2d_only:.3f}ms  "
           f"s2d_incl_layout={t_s2d_full:.3f}ms  parity_err={err:.2e}")
 
     # ---------------- D. dense stack: separate vs concat-N --------------------
+    # Weights generated ON DEVICE (805 MB host->relay transfer takes minutes)
+    # and passed as timeit ARGS, never closures (bench.py: closing over big
+    # pytrees makes XLA constant-fold the module for minutes).
     kf = 16 * 16 * 512
-    w_hq_e = randn(kf, 1024); w_lq_e = randn(kf, 512)
-    w_hq_g = randn(1024, kf); w_lq_g = randn(512, kf)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    dev_randn = lambda k, *s: (jax.random.normal(k, s, jnp.float32) * 0.05).astype(DT)
+    w_hq_e = dev_randn(keys[0], kf, 1024)
+    w_lq_e = dev_randn(keys[1], kf, 512)
+    w_hq_g = dev_randn(keys[2], 1024, kf)
+    w_lq_g = dev_randn(keys[3], 512, kf)
+    w_enc_cat = jnp.concatenate([w_hq_e, w_lq_e], axis=1)
     xf = randn(B, kf)
-    z_hq = randn(B, 1024); z_lq = randn(B, 512)
+    z_hq = randn(B, 1024)
+    z_lq = randn(B, 512)
 
-    def separate(xf, z_hq, z_lq):
-        a = xf @ w_hq_e
-        b_ = xf @ w_lq_e
-        c = z_hq @ w_hq_g
-        d = z_lq @ w_lq_g
+    def separate(xf, z_hq, z_lq, w1, w2, w3, w4):
+        a = xf @ w1
+        b_ = xf @ w2
+        c = z_hq @ w3
+        d = z_lq @ w4
         return c + d + jnp.pad(a, ((0, 0), (0, kf - 1024))) * 0 + jnp.pad(
             b_, ((0, 0), (0, kf - 512))) * 0
 
-    def enc_merged(xf, z_hq, z_lq):
+    def enc_merged(xf, z_hq, z_lq, wcat, w3, w4):
         # HQ and LQ encoder denses share xf's shape but not values in the real
         # model; here both read the same xf so merging N=1536 lanes is valid
         # as a THROUGHPUT experiment for the weight stream.
-        ab = xf @ jnp.concatenate([w_hq_e, w_lq_e], axis=1)
-        c = z_hq @ w_hq_g
-        d = z_lq @ w_lq_g
+        ab = xf @ wcat
+        c = z_hq @ w3
+        d = z_lq @ w4
         return c + d + jnp.pad(ab, ((0, 0), (0, kf - 1536))) * 0
 
-    t_sep = timeit(separate, xf, z_hq, z_lq)
-    t_mrg = timeit(enc_merged, xf, z_hq, z_lq)
+    t_sep = timeit(separate, xf, z_hq, z_lq, w_hq_e, w_lq_e, w_hq_g, w_lq_g)
+    t_mrg = timeit(enc_merged, xf, z_hq, z_lq, w_enc_cat, w_hq_g, w_lq_g)
     print(f"D dense: separate={t_sep:.3f}ms  enc_merged_N={t_mrg:.3f}ms")
 
 
