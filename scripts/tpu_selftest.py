@@ -78,8 +78,14 @@ def main():
 
         gp = jax.jit(jax.grad(loss(pall), argnums=(0, 1, 2)))(latent, score, strength)
         gj = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(latent, score, strength)
+        # d_score/d_strength reach magnitudes ~5e3 (sums of 1024 terms of ~30),
+        # so the comparison needs a relative term: measured on the real chip,
+        # Pallas-vs-jnp disagree by <= 2.7e-5 relative (fp32 summation order),
+        # while BOTH sit ~4.3e-3 relative from the float64 ground truth with
+        # identical error (shared fp32 forward rounding in exp/round) -- i.e.
+        # the kernel is as accurate as jnp, not a lowering bug.
         for name, a, b in zip(("d_latent", "d_score", "d_strength"), gp, gj):
-            check(f"quantize[{mode}] vjp {name}", a, b, atol=2e-3)
+            check(f"quantize[{mode}] vjp {name}", a, b, atol=2e-3, rtol=1e-4)
 
     # ---------------- fused attention block (ops/attention.py) ---------------
     from contextual_image_compression_tpu.ops import attention as A
@@ -123,12 +129,17 @@ def main():
     tol = 5e-2 if jnp.dtype(cfg_pallas.mask_engine_dtype) == jnp.bfloat16 else 1e-4
     check("fused contextual mask", m_p, m_j, atol=tol)
 
-    # u8 wire format exactness vs float path
+    # u8 wire-format equivalence: the u8 ingestion path must match the f32 path
+    # evaluated on the SAME underlying (u8-representable) image. Comparing
+    # against the original continuous f32 input would differ by the input's own
+    # u8 quantization (~1/255 = 3.9e-3), which is not a kernel property.
     u8 = jnp.asarray(
         np.clip(np.round((np.asarray(imgs) + 1) * 127.5), 0, 255).astype(np.uint8)
     )
+    imgs_deq = u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
     m_u8 = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(u8)
-    check("fused mask u8 == f32 wire", m_u8, m_p, atol=1e-5)
+    m_deq = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(imgs_deq)
+    check("fused mask u8 == f32 wire", m_u8, m_deq, atol=1e-5)
 
     # ---------------- DCT strip codec (ops/dct.py) ----------------------------
     from contextual_image_compression_tpu.config import DCTCodecConfig
