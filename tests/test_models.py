@@ -23,6 +23,10 @@ from contextual_image_compression_tpu.models.spectral_norm import SpectralNormDe
 from contextual_image_compression_tpu.ops.attention import (
     attention_core_jnp,
     attention_core_pallas,
+    sagan_block_jnp,
+    sagan_block_pallas,
+    sagan_block_spatial_jnp,
+    sagan_block_spatial_pallas,
 )
 
 SMALL = ModelConfig(
@@ -200,6 +204,38 @@ def test_attention_pallas_matches_jnp(rng):
     g = jax.grad(lambda q_: jnp.sum(attention_core_pallas(q_, k, v) ** 2))(q)
     gj = jax.grad(lambda q_: jnp.sum(attention_core_jnp(q_, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gj), atol=1e-4)
+
+
+def test_sagan_block_pallas_matches_jnp(rng):
+    """The fully fused SAGAN block (projections + attention + gamma epilogue
+    in one kernel) matches the composed jnp formulation, fwd and bwd, on both
+    the (B, N, C) and spatial (B, H, W, C) views."""
+    b, n, c, inner, dv = 2, 64, 32, 4, 32
+    xf = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    wq = jnp.asarray(rng.randn(c, inner).astype(np.float32) * 0.1)
+    bq = jnp.asarray(rng.randn(inner).astype(np.float32) * 0.1)
+    wk = jnp.asarray(rng.randn(c, inner).astype(np.float32) * 0.1)
+    bk = jnp.asarray(rng.randn(inner).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(c, dv).astype(np.float32) * 0.1)
+    bv = jnp.asarray(rng.randn(dv).astype(np.float32) * 0.1)
+    gamma = jnp.float32(0.7)
+    args = (xf, wq, bq, wk, bk, wv, bv, gamma)
+
+    out_p = sagan_block_pallas(*args)
+    out_j = sagan_block_jnp(*args)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j), atol=1e-5)
+
+    gp = jax.grad(lambda x_: jnp.sum(sagan_block_pallas(x_, *args[1:]) ** 2))(xf)
+    gj = jax.grad(lambda x_: jnp.sum(sagan_block_jnp(x_, *args[1:]) ** 2))(xf)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), atol=1e-4)
+
+    x4 = xf.reshape(b, 8, 8, c)
+    sp = sagan_block_spatial_pallas(x4, *args[1:])
+    sj = sagan_block_spatial_jnp(x4, *args[1:])
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sj), atol=1e-5)
+    g4p = jax.grad(lambda x_: jnp.sum(sagan_block_spatial_pallas(x_, *args[1:]) ** 2))(x4)
+    g4j = jax.grad(lambda x_: jnp.sum(sagan_block_spatial_jnp(x_, *args[1:]) ** 2))(x4)
+    np.testing.assert_allclose(np.asarray(g4p), np.asarray(g4j), atol=1e-4)
 
 
 def test_spectral_norm_normalizes():
