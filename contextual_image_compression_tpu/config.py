@@ -42,6 +42,11 @@ class SaliencyConfig:
     # 2007 / OpenCV both use 64x64).
     spectral_resolution: int = 64
     spectral_blur_sigma: float = 3.0
+    # Evaluate the 64-point FFT/iFFT pair as explicit DFT-matrix matmuls (MXU)
+    # instead of XLA's FFT custom call, and fold exp(residual+i*phase) into a
+    # real rescale of (Re F, Im F) -- no angle/cos/sin transcendentals.
+    # Parity vs the FFT path is ~1e-6 (tested); default pending TPU measurement.
+    spectral_dft_matmul: bool = False
     # Fine-grained center-surround box half-widths (integral-image scales).
     fine_grained_scales: Tuple[int, ...] = (1, 2, 3, 4, 5, 6)
     # Mask creation (reference: GAN_functions.py:159-208)

@@ -169,7 +169,8 @@ def compute_contextual_mask(
         )
 
         spec = saliency_ops.spectral_residual_saliency(
-            images, cfg.spectral_resolution, cfg.spectral_blur_sigma
+            images, cfg.spectral_resolution, cfg.spectral_blur_sigma,
+            dft_matmul=cfg.spectral_dft_matmul,
         )
         gray = saliency_ops._as_gray(images)
         batched = gray.ndim == 3

@@ -54,10 +54,64 @@ def _blur_op_matrix(n: int, ksize: int, sigma: float) -> jnp.ndarray:
     return iops._conv_sep_axis(jnp.eye(n, dtype=jnp.float32), kern, axis=-2)
 
 
+def _dft_matrices(n: int):
+    """Real/imag parts of the (symmetric) n-point DFT matrix exp(-2*pi*i*jk/n)."""
+    jk = jnp.outer(jnp.arange(n), jnp.arange(n)).astype(jnp.float32)
+    ang = (2.0 * math.pi / n) * jk
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
+def _spectral_core_dft(small: jnp.ndarray) -> jnp.ndarray:
+    """FFT -> residual -> iFFT -> squared magnitude, with the DFT pair as
+    explicit matmuls: fft2(x) = D x D for the symmetric DFT matrix D, so the
+    whole transform is four (B*64, 64)x(64, 64) real matmuls each way -- MXU
+    noise at the codec's shapes, vs XLA's FFT custom call. The phase factor
+    exp(i*angle(F)) is folded algebraically: exp(residual + i*phase)
+    = exp(residual)/|F| * (Re F + i Im F), removing angle/cos/sin VPU
+    transcendentals entirely. (exp(residual) = (|F| + eps) * exp(-boxmean),
+    so the rescale is ~exp(-boxmean) -- finite even at |F| = 0.)"""
+    n = small.shape[-1]
+    dr, di = _dft_matrices(n)
+    # t = small @ D (last axis), then F = D @ t (row axis); small is real.
+    tr = jnp.einsum("bhw,wk->bhk", small, dr)
+    ti = jnp.einsum("bhw,wk->bhk", small, di)
+    fr = jnp.einsum("jh,bhk->bjk", dr, tr) - jnp.einsum("jh,bhk->bjk", di, ti)
+    fi = jnp.einsum("jh,bhk->bjk", dr, ti) + jnp.einsum("jh,bhk->bjk", di, tr)
+
+    amplitude = jnp.sqrt(fr * fr + fi * fi)
+    log_amp = jnp.log(amplitude + 1e-9)
+    residual = log_amp - iops.box_filter(log_amp, 3)
+    scale = jnp.exp(residual) / jnp.maximum(amplitude, 1e-30)
+    rr = fr * scale
+    ri = fi * scale
+
+    # ifft2(R) = (1/n^2) conj(D) R conj(D); conj(D) = (dr, -di).
+    ur = jnp.einsum("bhw,wk->bhk", rr, dr) + jnp.einsum("bhw,wk->bhk", ri, di)
+    ui = jnp.einsum("bhw,wk->bhk", ri, dr) - jnp.einsum("bhw,wk->bhk", rr, di)
+    gr = jnp.einsum("jh,bhk->bjk", dr, ur) + jnp.einsum("jh,bhk->bjk", di, ui)
+    gi = jnp.einsum("jh,bhk->bjk", dr, ui) - jnp.einsum("jh,bhk->bjk", di, ur)
+    return (gr * gr + gi * gi) * (1.0 / float(n) ** 4)
+
+
+def _spectral_core_fft(small: jnp.ndarray) -> jnp.ndarray:
+    """FFT -> residual -> iFFT -> squared magnitude via jnp.fft."""
+    f = jnp.fft.fft2(small)
+    amplitude = jnp.abs(f)
+    phase = jnp.angle(f)
+    log_amp = jnp.log(amplitude + 1e-9)
+    residual = log_amp - iops.box_filter(log_amp, 3)
+    # Build exp(residual + i*phase) from cos/sin (complex exp is not lowered on all
+    # TPU runtimes; lax.complex of real parts is).
+    mag = jnp.exp(residual)
+    recombined = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+    return jnp.abs(jnp.fft.ifft2(recombined)) ** 2
+
+
 def spectral_residual_saliency(
     image: jnp.ndarray,
     resolution: int = 64,
     blur_sigma: float = 3.0,
+    dft_matmul: bool = False,
 ) -> jnp.ndarray:
     """Spectral-residual saliency (Hou & Zhang 2007).
 
@@ -85,16 +139,8 @@ def spectral_residual_saliency(
     small = jnp.einsum("ih,bhw->biw", wdn_h, g3)
     small = jnp.einsum("biw,jw->bij", small, wdn_w)
 
-    f = jnp.fft.fft2(small)
-    amplitude = jnp.abs(f)
-    phase = jnp.angle(f)
-    log_amp = jnp.log(amplitude + 1e-9)
-    residual = log_amp - iops.box_filter(log_amp, 3)
-    # Build exp(residual + i*phase) from cos/sin (complex exp is not lowered on all
-    # TPU runtimes; lax.complex of real parts is).
-    mag = jnp.exp(residual)
-    recombined = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
-    sal = jnp.abs(jnp.fft.ifft2(recombined)) ** 2
+    core = _spectral_core_dft if dft_matmul else _spectral_core_fft
+    sal = core(small)
 
     ksize = int(2 * math.ceil(3.0 * blur_sigma) + 1)
     blur = _blur_op_matrix(resolution, ksize, blur_sigma)
@@ -149,13 +195,15 @@ def compute_saliency_map(
     cfg = config or SaliencyConfig()
     if method == "spectral_residual":
         return spectral_residual_saliency(
-            image, cfg.spectral_resolution, cfg.spectral_blur_sigma
+            image, cfg.spectral_resolution, cfg.spectral_blur_sigma,
+            dft_matmul=cfg.spectral_dft_matmul,
         )
     if method == "fine_grained":
         return fine_grained_saliency(image, cfg.fine_grained_scales)
     if method == "combined":
         spec = spectral_residual_saliency(
-            image, cfg.spectral_resolution, cfg.spectral_blur_sigma
+            image, cfg.spectral_resolution, cfg.spectral_blur_sigma,
+            dft_matmul=cfg.spectral_dft_matmul,
         )
         fine = fine_grained_saliency(image, cfg.fine_grained_scales)
         combined = cfg.combined_spectral_weight * spec + cfg.combined_fine_weight * fine

@@ -37,6 +37,25 @@ def test_saliency_batched_consistency():
     np.testing.assert_allclose(batched[0], single0, atol=1e-5)
 
 
+def test_spectral_dft_matmul_matches_fft(rng):
+    """The DFT-by-matmul spectral core (config.spectral_dft_matmul) is the
+    same linear algebra as jnp.fft evaluated on the MXU; parity to f32
+    rounding on natural-ish and structured inputs."""
+    imgs = np.stack(
+        [_blob_image(cx=40), _blob_image(cy=90, cx=30, r=25)]
+    ) + rng.randn(2, 128, 128, 3).astype(np.float32) * 0.05
+    x = jnp.asarray(imgs)
+    a = np.asarray(saliency.spectral_residual_saliency(x, dft_matmul=True))
+    b = np.asarray(saliency.spectral_residual_saliency(x, dft_matmul=False))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+    cfg = SaliencyConfig(spectral_dft_matmul=True, mask_use_pallas=False)
+    m_dft = np.asarray(masks.compute_contextual_mask(x, cfg))
+    cfg_fft = SaliencyConfig(spectral_dft_matmul=False, mask_use_pallas=False)
+    m_fft = np.asarray(masks.compute_contextual_mask(x, cfg_fft))
+    np.testing.assert_allclose(m_dft, m_fft, atol=1e-4)
+
+
 def test_saliency_invalid_method_raises():
     with pytest.raises(ValueError):
         saliency.compute_saliency_map(jnp.zeros((8, 8, 3)), "nope")
