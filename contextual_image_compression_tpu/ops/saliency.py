@@ -94,16 +94,19 @@ def _spectral_core_dft(small: jnp.ndarray) -> jnp.ndarray:
 
 
 def _spectral_core_fft(small: jnp.ndarray) -> jnp.ndarray:
-    """FFT -> residual -> iFFT -> squared magnitude via jnp.fft."""
+    """FFT -> residual -> iFFT -> squared magnitude via jnp.fft.
+
+    The phase factor is folded algebraically: exp(residual + i*phase)
+    = exp(residual)/|F| * (Re F + i Im F) -- no angle/cos/sin VPU
+    transcendentals, and no complex exp (which is not lowered on all TPU
+    runtimes; lax.complex of real parts is)."""
     f = jnp.fft.fft2(small)
-    amplitude = jnp.abs(f)
-    phase = jnp.angle(f)
+    fr, fi = jnp.real(f), jnp.imag(f)
+    amplitude = jnp.sqrt(fr * fr + fi * fi)
     log_amp = jnp.log(amplitude + 1e-9)
     residual = log_amp - iops.box_filter(log_amp, 3)
-    # Build exp(residual + i*phase) from cos/sin (complex exp is not lowered on all
-    # TPU runtimes; lax.complex of real parts is).
-    mag = jnp.exp(residual)
-    recombined = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+    scale = jnp.exp(residual) / jnp.maximum(amplitude, 1e-30)
+    recombined = jax.lax.complex(fr * scale, fi * scale)
     return jnp.abs(jnp.fft.ifft2(recombined)) ** 2
 
 
