@@ -54,6 +54,20 @@ def _blur_op_matrix(n: int, ksize: int, sigma: float) -> jnp.ndarray:
     return iops._conv_sep_axis(jnp.eye(n, dtype=jnp.float32), kern, axis=-2)
 
 
+def _box_op_matrix(n: int, ksize: int) -> jnp.ndarray:
+    """The (n, n) matrix of the normalized reflect-101 box mean along one axis
+    (iops.box_filter's small-kernel path), extracted from an identity."""
+    kern = jnp.full((ksize,), 1.0 / ksize, dtype=jnp.float32)
+    return iops._conv_sep_axis(jnp.eye(n, dtype=jnp.float32), kern, axis=-2)
+
+
+def _box_mean_matmul(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """box_filter(x, ksize) on the last two axes as two operator matmuls."""
+    bm = _box_op_matrix(x.shape[-1], ksize)
+    x = jnp.einsum("ih,bhw->biw", bm, x)
+    return jnp.einsum("biw,jw->bij", x, bm)
+
+
 def _dft_matrices(n: int):
     """Real/imag parts of the (symmetric) n-point DFT matrix exp(-2*pi*i*jk/n)."""
     jk = jnp.outer(jnp.arange(n), jnp.arange(n)).astype(jnp.float32)
@@ -80,7 +94,7 @@ def _spectral_core_dft(small: jnp.ndarray) -> jnp.ndarray:
 
     amplitude = jnp.sqrt(fr * fr + fi * fi)
     log_amp = jnp.log(amplitude + 1e-9)
-    residual = log_amp - iops.box_filter(log_amp, 3)
+    residual = log_amp - _box_mean_matmul(log_amp, 3)
     scale = jnp.exp(residual) / jnp.maximum(amplitude, 1e-30)
     rr = fr * scale
     ri = fi * scale
@@ -104,7 +118,7 @@ def _spectral_core_fft(small: jnp.ndarray) -> jnp.ndarray:
     fr, fi = jnp.real(f), jnp.imag(f)
     amplitude = jnp.sqrt(fr * fr + fi * fi)
     log_amp = jnp.log(amplitude + 1e-9)
-    residual = log_amp - iops.box_filter(log_amp, 3)
+    residual = log_amp - _box_mean_matmul(log_amp, 3)
     scale = jnp.exp(residual) / jnp.maximum(amplitude, 1e-30)
     recombined = jax.lax.complex(fr * scale, fi * scale)
     return jnp.abs(jnp.fft.ifft2(recombined)) ** 2
