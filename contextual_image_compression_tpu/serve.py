@@ -11,10 +11,18 @@ is per-image host OpenCV + predict, GAN_test.py:265-340).
 Also exposes real-bitstream serialization of the quantized latents (measured
 bpp; ops/bitstream.py). Note the architectural caveat inherited from the
 reference: the generators consume encoder SKIP tensors that bypass the latent
-bottleneck (GAN_functions.py:256-266), so the latent bitstream alone cannot
-reconstruct the image -- the codec is served as an encode+decode pipeline, and
-bitstreams quantify the latent rate exactly as the reference's analytic
-accounting does (GAN_test.py:314-325), but measured.
+bottleneck (GAN_functions.py:256-266), so with the reference topology the
+latent bitstream alone cannot reconstruct the image -- the codec is served as
+an encode+decode pipeline, and bitstreams quantify the latent rate exactly as
+the reference's analytic accounting does (GAN_test.py:314-325), but measured.
+The skip-free variant (ModelConfig.skip_mode='zero') removes the caveat:
+encode_to_bitstream/decode_from_bitstream then form a true storable codec
+(bytes -> image with no encoder in the loop; scripts/eval_bitstream.py
+measures its quality).
+
+Multi-chip serving: pass `mesh=parallel.create_mesh(...)` -- parameters are
+replicated, request batches shard over the mesh devices, and the same jitted
+callable runs SPMD (the codec is embarrassingly data-parallel).
 """
 
 from __future__ import annotations
@@ -57,7 +65,16 @@ class CompressionPipeline:
         variables: Optional[Dict] = None,
         model_config: Optional[ModelConfig] = None,
         saliency_config: Optional[SaliencyConfig] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        """`mesh`: optional (data, model) mesh from `parallel.create_mesh` --
+        serving then runs SPMD data-parallel: parameters are replicated, every
+        request batch is sharded on the mesh's 'data' axis, and the jitted
+        forward executes on all mesh devices at once (the codec has no
+        cross-image coupling, so DP serving scales ~linearly -- see
+        runs/mesh_scaling.json for the training-side measurement of the same
+        mesh tier). Requests are padded to a multiple of the data-axis size."""
+        self.mesh = mesh
         self.mcfg = _serving_model_config(model_config or ModelConfig())
         self.scfg = saliency_config or SaliencyConfig()
         self.codec = AdaptiveCodec(self.mcfg)
@@ -72,6 +89,22 @@ class CompressionPipeline:
         else:
             self.provenance = {"all": "provided"}
         self.variables = cast_floats(variables, jnp.bfloat16)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # Replicate parameters across the mesh; batches shard on 'data'.
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, P())
+            )
+            self._data_size = int(mesh.shape.get("data", 1)) * int(
+                mesh.shape.get("model", 1)
+            )
+            self._batch_sharding = lambda ndim: NamedSharding(
+                mesh, P(("data", "model"), *([None] * (ndim - 1)))
+            )
+        else:
+            self._data_size = 1
+            self._batch_sharding = None
         self._compiled_batches: set = set()
 
         scfg = self.scfg
@@ -145,7 +178,9 @@ class CompressionPipeline:
         p = 1
         while p < b:
             p *= 2
-        return p
+        # On a mesh the executed batch must divide evenly over the devices.
+        d = self._data_size
+        return p if p % d == 0 else ((p + d - 1) // d) * d
 
     def __call__(
         self, images_u8: np.ndarray, target_bpp: float = 1.0
@@ -156,7 +191,11 @@ class CompressionPipeline:
             pad = np.zeros((bp - b,) + images_u8.shape[1:], images_u8.dtype)
             images_u8 = np.concatenate([np.asarray(images_u8), pad], axis=0)
         bpp = jnp.full((bp, 1), float(target_bpp), jnp.bfloat16)
-        decoded, info = self._run(self.variables, jnp.asarray(images_u8), bpp)
+        imgs_dev = jnp.asarray(images_u8)
+        if self.mesh is not None:
+            imgs_dev = jax.device_put(imgs_dev, self._batch_sharding(imgs_dev.ndim))
+            bpp = jax.device_put(bpp, self._batch_sharding(2))
+        decoded, info = self._run(self.variables, imgs_dev, bpp)
         self._compiled_batches.add(bp)
         if bp != b:
             decoded = decoded[:b]
@@ -211,10 +250,21 @@ class CompressionPipeline:
                 raise ValueError(
                     f"stream image size {p['img_hw']} != pipeline {(h, w)}"
                 )
-        hq = jnp.asarray(np.stack([p["hq_latent"] for p in parts]))
-        lq = jnp.asarray(np.stack([p["lq_latent"] for p in parts]))
-        mask_small = jnp.asarray(np.stack([p["mask_small"] for p in parts]))
-        bpp = jnp.asarray(
-            np.array([[p["target_bpp"]] for p in parts], np.float32)
-        )
-        return np.asarray(self._decode(self.variables, hq, lq, mask_small, bpp))
+        hq = np.stack([p["hq_latent"] for p in parts])
+        lq = np.stack([p["lq_latent"] for p in parts])
+        mask_small = np.stack([p["mask_small"] for p in parts])
+        bpp = np.array([[p["target_bpp"]] for p in parts], np.float32)
+        b = hq.shape[0]
+        bp = self._padded_batch(b) if self.mesh is not None else b
+        if bp != b:
+            pad = lambda a: np.concatenate(
+                [a, np.zeros((bp - b,) + a.shape[1:], a.dtype)], axis=0
+            )
+            hq, lq, mask_small, bpp = pad(hq), pad(lq), pad(mask_small), pad(bpp)
+        args = [jnp.asarray(hq), jnp.asarray(lq), jnp.asarray(mask_small), jnp.asarray(bpp)]
+        if self.mesh is not None:
+            args = [
+                jax.device_put(a, self._batch_sharding(a.ndim)) for a in args
+            ]
+        out = np.asarray(self._decode(self.variables, *args))
+        return out[:b]

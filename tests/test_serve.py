@@ -145,3 +145,36 @@ def test_pipeline_ragged_tail_batch(rng):
     np.testing.assert_array_equal(dec3, dec4[:3])
     # a batch larger than anything compiled rounds up to the next power of two
     assert pipe._padded_batch(5) == 8
+
+
+def test_pipeline_mesh_data_parallel(rng):
+    """SPMD serving: a (data, model) mesh pipeline (params replicated, batch
+    sharded over all devices) returns the SAME bytes as the single-device
+    pipeline, through both the forward path and the storable bytes->image
+    path (including mesh-multiple padding of a ragged decode batch)."""
+    from contextual_image_compression_tpu.parallel import create_mesh
+    import dataclasses
+
+    cfg = dataclasses.replace(_small_cfg(), skip_mode="zero")
+    ref = CompressionPipeline(model_config=cfg)
+    mesh = create_mesh(model_parallel=2)
+    dp = CompressionPipeline(model_config=cfg, mesh=mesh)
+
+    imgs = rng.randint(0, 256, (8, 64, 64, 3)).astype(np.uint8)
+    dec_ref, info_ref = ref(imgs, target_bpp=1.0)
+    dec_dp, info_dp = dp(imgs, target_bpp=1.0)
+    np.testing.assert_array_equal(dec_ref, dec_dp)
+    np.testing.assert_allclose(
+        np.asarray(info_ref["hq_symbols"]), np.asarray(info_dp["hq_symbols"])
+    )
+
+    # ragged request: pads to a mesh multiple, slices back
+    dec3, _ = dp(imgs[:3], target_bpp=1.0)
+    np.testing.assert_array_equal(dec3, dec_ref[:3])
+
+    # storable path under the mesh, ragged decode batch (3 streams, 8 devices)
+    streams = dp.encode_to_bitstream(imgs[:3], target_bpp=1.0, mask_downsample=8)
+    out_dp = dp.decode_from_bitstream(streams)
+    out_ref = ref.decode_from_bitstream(streams)
+    assert out_dp.shape == (3, 64, 64, 3)
+    np.testing.assert_array_equal(out_dp, out_ref)
