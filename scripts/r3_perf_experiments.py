@@ -213,6 +213,46 @@ def main():
     t_mrg = timeit(enc_merged, xf, z_hq, z_lq, w_enc_cat, w_hq_g, w_lq_g)
     print(f"D dense: separate={t_sep:.3f}ms  enc_merged_N={t_mrg:.3f}ms")
 
+    # ---------------- I. spectral stage: fft vs DFT-matmul core ---------------
+    # (operator-matrix resizes/blur/box are already the default; this isolates
+    # the remaining FFT-vs-matmul axis, config.spectral_dft_matmul)
+    from contextual_image_compression_tpu.ops import saliency as sal_ops
+
+    imgs_u8 = jnp.asarray(rng.randint(0, 256, (B, 256, 256, 3)).astype(np.uint8))
+    for flag in (False, True):
+        t = timeit(
+            lambda x, _flag=flag: sal_ops.spectral_residual_saliency(
+                x.astype(jnp.float32) * (1.0 / 127.5) - 1.0, dft_matmul=_flag
+            ),
+            imgs_u8,
+        )
+        print(f"I spectral core dft_matmul={flag}: {t:.3f}ms")
+
+    # ---------------- J. fully fused SAGAN block vs composed ------------------
+    from contextual_image_compression_tpu.ops.attention import (
+        attention_block_pallas,
+        sagan_block_pallas,
+    )
+
+    c_att = 256
+    x_att = randn(B, 1024, c_att)
+    wq = randn(c_att, 32); bq = randn(32)
+    wk = randn(c_att, 32); bk = randn(32)
+    wv = randn(c_att, c_att); bv = randn(c_att)
+    gam = jnp.float32(0.7)
+
+    def composed(x, wq, bq, wk, bk, wv, bv):
+        q = x @ wq + bq.astype(x.dtype)
+        k = x @ wk + bk.astype(x.dtype)
+        v = x @ wv + bv.astype(x.dtype)
+        return attention_block_pallas(q, k, v, x, gam)
+
+    t_c = timeit(composed, x_att, wq, bq, wk, bk, wv, bv)
+    t_f = timeit(
+        lambda x, *w: sagan_block_pallas(x, *w, gam), x_att, wq, bq, wk, bk, wv, bv
+    )
+    print(f"J sagan block: composed={t_c:.3f}ms  fused_qkv={t_f:.3f}ms")
+
 
 if __name__ == "__main__":
     main()
