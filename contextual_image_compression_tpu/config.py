@@ -47,6 +47,11 @@ class SaliencyConfig:
     # real rescale of (Re F, Im F) -- no angle/cos/sin transcendentals.
     # Parity vs the FFT path is ~1e-6 (tested); default pending TPU measurement.
     spectral_dft_matmul: bool = False
+    # Feed the fused mask kernel the 64^2 spectral map and upsample INSIDE the
+    # kernel (two in-VMEM matmuls) instead of round-tripping the (B, H, W) f32
+    # map through HBM. Parity is exact (same operator matrices); default
+    # pending TPU measurement.
+    mask_spec_small: bool = False
     # Fine-grained center-surround box half-widths (integral-image scales).
     fine_grained_scales: Tuple[int, ...] = (1, 2, 3, 4, 5, 6)
     # Mask creation (reference: GAN_functions.py:159-208)

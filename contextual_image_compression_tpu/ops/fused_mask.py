@@ -164,17 +164,26 @@ def _make_kernel(h: int, w: int, d: int, sigma_color: float, sigma_space: float,
 def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
                             fine_weight: float, d: int, sigma_color: float,
                             sigma_space: float, gauss_ksize: int,
-                            dt=jnp.float32):
+                            dt=jnp.float32, spec_small: bool = False):
     """Full contextual-mask fusion: fine-grained saliency (box-filter
     center-surround, reference: GAN_functions.py:52-121 'fine_grained') +
     combined-weighting (reference :94-98) + the smooth-mask chain -- one HBM
-    read of (gray, spectral), one mask write."""
+    read of (gray, spectral), one mask write.
+
+    spec_small=True: the spectral map arrives at its native 64^2 resolution
+    together with the two linear-upsample operator matrices, and the upsample
+    runs as two in-VMEM f32 matmuls -- skipping the (B, H, W) f32 spectral
+    round trip through HBM that the full-size form pays."""
     radius = d // 2
     color_coeff = -0.5 / (sigma_color * sigma_color)
     space_coeff = -0.5 / (sigma_space * sigma_space)
     gk = [float(v) for v in gaussian_kernel_1d(gauss_ksize, 0.0)]
 
-    def kernel(gray_ref, spec_ref, o_ref, xp_ref, xs_ref, tr_ref, tc_ref):
+    def kernel(gray_ref, spec_ref, *refs):
+        if spec_small:
+            uph_ref, upwt_ref, o_ref, xp_ref, xs_ref, tr_ref, tc_ref = refs
+        else:
+            o_ref, xp_ref, xs_ref, tr_ref, tc_ref = refs
         g = (gray_ref[0] * (1.0 / 255.0)).astype(dt)  # (H, W) in [0,1]
 
         # ---- fine-grained: center-surround on/off over box scales -----------
@@ -206,8 +215,17 @@ def _make_contextual_kernel(h: int, w: int, scales, spectral_weight: float,
         fine = _normalize_max(fine)
 
         # ---- combined = 0.6*spectral + 0.4*fine, max-normalized --------------
+        if spec_small:
+            t = jax.lax.dot(
+                uph_ref[...], spec_ref[0], preferred_element_type=jnp.float32
+            )  # (H, r)
+            spec = jax.lax.dot(
+                t, upwt_ref[...], preferred_element_type=jnp.float32
+            )  # (H, W)
+        else:
+            spec = spec_ref[0]
         comb = _normalize_max(
-            spectral_weight * spec_ref[0] + fine_weight * fine
+            spectral_weight * spec + fine_weight * fine
         ).astype(dt)
 
         # ---- bilateral(9, 75, 75) -> Gaussian 31x31 -> max-normalize ---------
@@ -257,17 +275,42 @@ def contextual_mask_pallas(
     b, h, w = gray255.shape
     radius = d // 2
     gpad = gauss_ksize // 2
+    # Small-spec form: a (B, r, r) spectral map (r != image size) upsamples
+    # INSIDE the kernel via the two linear operator matrices.
+    spec_small = spectral.shape[-2:] != (h, w)
     kernel = _make_contextual_kernel(
         h, w, tuple(scales), spectral_weight, fine_weight, d, sigma_color,
-        sigma_space, gauss_ksize, dt=compute_dtype,
+        sigma_space, gauss_ksize, dt=compute_dtype, spec_small=spec_small,
     )
+    in_specs = [
+        pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [gray255.astype(jnp.float32)]
+    if spec_small:
+        from contextual_image_compression_tpu.ops.saliency import (
+            _resize_op_matrix,
+        )
+
+        r = spectral.shape[-1]
+        in_specs += [
+            pl.BlockSpec((1, r, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [
+            spectral.astype(jnp.float32),
+            _resize_op_matrix(r, h),
+            _resize_op_matrix(r, w).T,
+        ]
+    else:
+        in_specs.append(
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(spectral.astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         scratch_shapes=_scratches(h, w, radius, gpad, extra=True, dt=compute_dtype),
@@ -275,7 +318,7 @@ def contextual_mask_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=not _on_tpu(),
-    )(gray255.astype(jnp.float32), spectral.astype(jnp.float32))
+    )(*args)
 
 
 def smooth_mask_pallas(

@@ -168,7 +168,12 @@ def compute_contextual_mask(
             contextual_mask_pallas,
         )
 
-        spec = saliency_ops.spectral_residual_saliency(
+        spectral_fn = (
+            saliency_ops.spectral_residual_small
+            if cfg.mask_spec_small
+            else saliency_ops.spectral_residual_saliency
+        )
+        spec = spectral_fn(
             images, cfg.spectral_resolution, cfg.spectral_blur_sigma,
             dft_matmul=cfg.spectral_dft_matmul,
         )

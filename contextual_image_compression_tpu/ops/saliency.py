@@ -149,6 +149,29 @@ def spectral_residual_saliency(
     gray = _as_gray(image)
     h, w = gray.shape[-2], gray.shape[-1]
     lead = gray.shape[:-2]
+    sal = spectral_residual_small(image, resolution, blur_sigma, dft_matmul)
+    sal = sal.reshape((-1, resolution, resolution))
+    wup_h = _resize_op_matrix(resolution, h)
+    wup_w = _resize_op_matrix(resolution, w)
+    out = jnp.einsum("ih,bhw->biw", wup_h, sal)
+    out = jnp.einsum("biw,jw->bij", out, wup_w)
+    return out.reshape(lead + (h, w))
+
+
+def spectral_residual_small(
+    image: jnp.ndarray,
+    resolution: int = 64,
+    blur_sigma: float = 3.0,
+    dft_matmul: bool = False,
+) -> jnp.ndarray:
+    """The spectral-residual map at its native `resolution`^2, min-max
+    normalized but NOT yet upsampled (the final linear upsample commutes with
+    the normalization). Consumers that can upsample cheaply themselves (the
+    fused mask kernel does it as two in-VMEM matmuls) take this form and skip
+    the (B, H, W) f32 round trip through HBM."""
+    gray = _as_gray(image)
+    h, w = gray.shape[-2], gray.shape[-1]
+    lead = gray.shape[:-2]
     g3 = gray.reshape((-1,) + gray.shape[-2:])
 
     wdn_h = _resize_op_matrix(h, resolution)
@@ -166,11 +189,7 @@ def spectral_residual_saliency(
     # normalize at 64^2, THEN upsample: identical to the reference order
     # because the linear resize is affine-preserving (rows sum to 1).
     sal = iops.normalize_minmax(sal)
-    wup_h = _resize_op_matrix(resolution, h)
-    wup_w = _resize_op_matrix(resolution, w)
-    out = jnp.einsum("ih,bhw->biw", wup_h, sal)
-    out = jnp.einsum("biw,jw->bij", out, wup_w)
-    return out.reshape(lead + (h, w))
+    return sal.reshape(lead + (resolution, resolution))
 
 
 def fine_grained_saliency(

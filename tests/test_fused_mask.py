@@ -43,6 +43,31 @@ def test_contextual_mask_pallas_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_contextual_mask_small_spec_matches_full(rng):
+    """Small-spec form (64^2 spectral map + in-kernel operator-matrix
+    upsample, config.mask_spec_small) == the full-size-spec form: the same
+    linear maps run inside VMEM instead of through HBM."""
+    from contextual_image_compression_tpu.ops.saliency import (
+        spectral_residual_small,
+    )
+
+    imgs = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
+    cfg = SaliencyConfig()
+    gray = iops.rgb_to_gray((imgs + 1.0) * 127.5)
+    spec_full = spectral_residual_saliency(
+        imgs, cfg.spectral_resolution, cfg.spectral_blur_sigma
+    )
+    spec_small = spectral_residual_small(
+        imgs, cfg.spectral_resolution, cfg.spectral_blur_sigma
+    )
+    assert spec_small.shape == (2, 64, 64)
+    m_full = contextual_mask_pallas(gray, spec_full, scales=cfg.fine_grained_scales)
+    m_small = contextual_mask_pallas(gray, spec_small, scales=cfg.fine_grained_scales)
+    np.testing.assert_allclose(
+        np.asarray(m_small), np.asarray(m_full), atol=2e-5
+    )
+
+
 def test_uint8_input_exact(rng):
     """uint8 images (the production wire format) must produce the SAME mask as
     the [-1,1] float path: gray255 from u8 is the identical f32 value."""
