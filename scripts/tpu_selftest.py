@@ -159,6 +159,19 @@ def main():
     tol = 5e-2 if jnp.dtype(cfg_pallas.mask_engine_dtype) == jnp.bfloat16 else 1e-4
     check("fused contextual mask", m_p, m_j, atol=tol)
 
+    # round-3 optional lowerings: DFT-matmul spectral core and the small-spec
+    # in-kernel upsample must match the default path ON THE REAL CHIP
+    for dft in (False, True):
+        for small in (False, True):
+            if not dft and not small:
+                continue
+            cfg_v = SaliencyConfig(
+                mask_use_pallas=True, spectral_dft_matmul=dft,
+                mask_spec_small=small,
+            )
+            m_v = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_v))(imgs)
+            check(f"mask variant dft={dft} small={small}", m_v, m_p, atol=2e-4)
+
     # u8 wire-format equivalence: the u8 ingestion path must match the f32 path
     # evaluated on the SAME underlying (u8-representable) image. Comparing
     # against the original continuous f32 input would differ by the input's own
