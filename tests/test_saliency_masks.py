@@ -56,6 +56,18 @@ def test_spectral_dft_matmul_matches_fft(rng):
     np.testing.assert_allclose(m_dft, m_fft, atol=1e-4)
 
 
+def test_resize_op_matrix_rows_sum_to_one():
+    """normalize-at-64^2-then-upsample == the reference's order ONLY because
+    the linear resize is affine-preserving (each output is a convex
+    combination of inputs). Guard that precondition for the shapes the
+    pipeline uses, both directions."""
+    for src, dst in [(256, 64), (64, 256), (128, 64), (64, 128), (512, 64)]:
+        m = np.asarray(saliency._resize_op_matrix(src, dst))
+        assert m.shape == (dst, src)
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+        assert m.min() >= -1e-6  # convex weights: no overshoot off the data
+
+
 def test_saliency_invalid_method_raises():
     with pytest.raises(ValueError):
         saliency.compute_saliency_map(jnp.zeros((8, 8, 3)), "nope")
