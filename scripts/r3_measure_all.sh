@@ -10,4 +10,6 @@ echo "=== selftest ($(date -u +%H:%M:%S)) ==="
 timeout 900 python -u scripts/tpu_selftest.py 2>&1 | tee runs/tpu_selftest_r3.log
 echo "=== perf experiments I/J ($(date -u +%H:%M:%S)) ==="
 timeout 900 python -u scripts/r3_perf_experiments.py 2>&1 | tee runs/r3_perf_experiments.log
+echo "=== xla flag sweep (experiment E) ($(date -u +%H:%M:%S)) ==="
+timeout 1800 python -u scripts/r3_xla_flag_sweep.py 2>&1 | tee runs/r3_xla_flag_sweep.log
 echo "=== done ($(date -u +%H:%M:%S)) ==="
