@@ -45,13 +45,18 @@ class SaliencyConfig:
     # Evaluate the 64-point FFT/iFFT pair as explicit DFT-matrix matmuls (MXU)
     # instead of XLA's FFT custom call, and fold exp(residual+i*phase) into a
     # real rescale of (Re F, Im F) -- no angle/cos/sin transcendentals.
-    # Parity vs the FFT path is ~1e-6 (tested); default pending TPU measurement.
-    spectral_dft_matmul: bool = False
+    # Default ON: with mask_spec_small it lifts the mask engine 50.9k -> 61.3k
+    # img/s on v5e (runs/r3_saliency_sweep.log). On-chip divergence vs the FFT
+    # custom call is ~1.5e-3 in the final mask (two different f32 algorithms
+    # through the log-amplitude cancellation; see scripts/tpu_selftest.py) --
+    # immaterial downstream of the Otsu threshold / 0.6-0.4 blend, and the
+    # CPU cv2-parity tests pass identically under both cores.
+    spectral_dft_matmul: bool = True
     # Feed the fused mask kernel the 64^2 spectral map and upsample INSIDE the
     # kernel (two in-VMEM matmuls) instead of round-tripping the (B, H, W) f32
-    # map through HBM. Parity is exact (same operator matrices); default
-    # pending TPU measurement.
-    mask_spec_small: bool = False
+    # map through HBM. Parity is exact (same operator matrices); measured
+    # +4% mask engine alone, +20% with spectral_dft_matmul (v5e, b128).
+    mask_spec_small: bool = True
     # Fine-grained center-surround box half-widths (integral-image scales).
     fine_grained_scales: Tuple[int, ...] = (1, 2, 3, 4, 5, 6)
     # Mask creation (reference: GAN_functions.py:159-208)

@@ -148,8 +148,13 @@ def compute_contextual_mask(
     fully fused Pallas path on TPU (fine-grained + combine + bilateral + Gaussian
     + normalize in ONE kernel; the cheap 64x64 FFT spectral residual stays in
     XLA). images: (B, H, W, 3) in [-1, 1] -- or uint8 in [0, 255], the
-    production wire format: gray255 = rgb_to_gray(float(u8)) is the SAME f32
-    value either way, so uint8 input is exact while moving 4x fewer bytes.
+    production wire format: gray255 = rgb_to_gray(float(u8)) is computed
+    in-graph, bit-identical to feeding the gray255 f32 image, while moving 4x
+    fewer bytes. (A [-1,1] float image DEQUANTIZED from u8 is not the same
+    input: for dark pixels the (x+1)*127.5 renormalization carries
+    ~2^-24-scale rounding, which the spectral residual's log-amplitude
+    cancellation can amplify to ~1e-2 in the mask, input-dependently --
+    prefer the u8 wire; see scripts/tpu_selftest.py.)
     Returns (B, H, W) float32 masks."""
     from contextual_image_compression_tpu.ops import saliency as saliency_ops
 

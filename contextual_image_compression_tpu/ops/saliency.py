@@ -24,6 +24,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from contextual_image_compression_tpu.config import SaliencyConfig
 from contextual_image_compression_tpu.ops import image_ops as iops
@@ -69,10 +70,18 @@ def _box_mean_matmul(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
 
 
 def _dft_matrices(n: int):
-    """Real/imag parts of the (symmetric) n-point DFT matrix exp(-2*pi*i*jk/n)."""
-    jk = jnp.outer(jnp.arange(n), jnp.arange(n)).astype(jnp.float32)
-    ang = (2.0 * math.pi / n) * jk
-    return jnp.cos(ang), -jnp.sin(ang)
+    """Real/imag parts of the (symmetric) n-point DFT matrix exp(-2*pi*i*jk/n).
+
+    Built in float64 numpy (n is static, so these are trace-time constants)
+    with j*k reduced mod n first: in f32, cos((2pi/n)*jk) for jk up to
+    (n-1)^2 carries ~|ang|*2^-24 ~ 2e-5 absolute angle error, which the
+    log-amplitude cancellation downstream amplifies past the on-chip parity
+    bound. Mod-n reduction + f64 evaluation gives entries correctly rounded
+    to f32."""
+    jk = np.outer(np.arange(n), np.arange(n)) % n
+    ang = (2.0 * math.pi / n) * jk.astype(np.float64)
+    return (jnp.asarray(np.cos(ang), dtype=jnp.float32),
+            jnp.asarray(-np.sin(ang), dtype=jnp.float32))
 
 
 def _spectral_core_dft(small: jnp.ndarray) -> jnp.ndarray:
@@ -83,14 +92,29 @@ def _spectral_core_dft(small: jnp.ndarray) -> jnp.ndarray:
     exp(i*angle(F)) is folded algebraically: exp(residual + i*phase)
     = exp(residual)/|F| * (Re F + i Im F), removing angle/cos/sin VPU
     transcendentals entirely. (exp(residual) = (|F| + eps) * exp(-boxmean),
-    so the rescale is ~exp(-boxmean) -- finite even at |F| = 0.)"""
+    so the rescale is ~exp(-boxmean) -- finite even at |F| = 0.)
+
+    The DFT matmuls run at Precision.HIGHEST: at the TPU default (bf16
+    passes) the ~2^-8 relative error in F is amplified by log(|F|) where
+    |F| is small (heavy cancellation off the DC bin), and the on-chip mask
+    diverged from the FFT path by 3.5e-2 (runs/tpu_selftest_r3.log). At
+    HIGHEST the 64-point matmuls are still MXU noise and the divergence
+    drops to ~1.5e-3 -- the residual is genuine cross-algorithm f32 rounding
+    (FFT custom call vs DFT factorization through the cancellation), bounded
+    at 4e-3 by scripts/tpu_selftest.py and immaterial downstream of the
+    Otsu threshold / 0.6-0.4 blend."""
     n = small.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+
+    def ein(spec, a, b):
+        return jnp.einsum(spec, a, b, precision=hi)
+
     dr, di = _dft_matrices(n)
     # t = small @ D (last axis), then F = D @ t (row axis); small is real.
-    tr = jnp.einsum("bhw,wk->bhk", small, dr)
-    ti = jnp.einsum("bhw,wk->bhk", small, di)
-    fr = jnp.einsum("jh,bhk->bjk", dr, tr) - jnp.einsum("jh,bhk->bjk", di, ti)
-    fi = jnp.einsum("jh,bhk->bjk", dr, ti) + jnp.einsum("jh,bhk->bjk", di, tr)
+    tr = ein("bhw,wk->bhk", small, dr)
+    ti = ein("bhw,wk->bhk", small, di)
+    fr = ein("jh,bhk->bjk", dr, tr) - ein("jh,bhk->bjk", di, ti)
+    fi = ein("jh,bhk->bjk", dr, ti) + ein("jh,bhk->bjk", di, tr)
 
     amplitude = jnp.sqrt(fr * fr + fi * fi)
     log_amp = jnp.log(amplitude + 1e-9)
@@ -100,10 +124,10 @@ def _spectral_core_dft(small: jnp.ndarray) -> jnp.ndarray:
     ri = fi * scale
 
     # ifft2(R) = (1/n^2) conj(D) R conj(D); conj(D) = (dr, -di).
-    ur = jnp.einsum("bhw,wk->bhk", rr, dr) + jnp.einsum("bhw,wk->bhk", ri, di)
-    ui = jnp.einsum("bhw,wk->bhk", ri, dr) - jnp.einsum("bhw,wk->bhk", rr, di)
-    gr = jnp.einsum("jh,bhk->bjk", dr, ur) + jnp.einsum("jh,bhk->bjk", di, ui)
-    gi = jnp.einsum("jh,bhk->bjk", dr, ui) - jnp.einsum("jh,bhk->bjk", di, ur)
+    ur = ein("bhw,wk->bhk", rr, dr) + ein("bhw,wk->bhk", ri, di)
+    ui = ein("bhw,wk->bhk", ri, dr) - ein("bhw,wk->bhk", rr, di)
+    gr = ein("jh,bhk->bjk", dr, ur) + ein("jh,bhk->bjk", di, ui)
+    gi = ein("jh,bhk->bjk", dr, ui) - ein("jh,bhk->bjk", di, ur)
     return (gr * gr + gi * gi) * (1.0 / float(n) ** 4)
 
 

@@ -140,9 +140,28 @@ def main():
         jax.jit(A.sagan_block_spatial_jnp)(x4, *sb_args[1:]),
         atol=1e-4,
     )
+    # Two-part gradient check. The custom VJP *is* jax.vjp of the jnp
+    # reference at the saved primals (ops/attention.py::_sb_bwd), so with a
+    # LINEAR loss (fixed cotangent u) pallas-grad and jnp-grad run the
+    # identical backward program — any mismatch is a wiring bug (wrong
+    # argument order / stale residuals), and the tolerance can be tight.
+    u = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+
+    def lloss(fn):
+        return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) * u)
+
+    glp = jax.jit(jax.grad(lloss(A.sagan_block_pallas)))(*sb_args)
+    glj = jax.jit(jax.grad(lloss(A.sagan_block_jnp)))(*sb_args)
+    check("sagan block grad dx (linear probe)", glp, glj, atol=1e-5)
+
+    # With a NONLINEAR loss the cotangent itself inherits the forward's
+    # bf16-input error (~4e-5 here), which the N=1024 attention vjp amplifies
+    # ~25x into dx — that amplification bound (not backward correctness,
+    # covered above) is what this asserts. Measured on-chip: 1.05e-3.
     gsp = jax.jit(jax.grad(aloss(A.sagan_block_pallas)))(*sb_args)
     gsj = jax.jit(jax.grad(aloss(A.sagan_block_jnp)))(*sb_args)
-    check("sagan block grad dx", gsp, gsj, atol=1e-4)
+    check("sagan block grad dx (tanh loss, amplification bound)", gsp, gsj,
+          atol=4e-3)
 
     # ---------------- fused contextual mask (ops/fused_mask.py) --------------
     from contextual_image_compression_tpu.config import SaliencyConfig
@@ -159,8 +178,21 @@ def main():
     tol = 5e-2 if jnp.dtype(cfg_pallas.mask_engine_dtype) == jnp.bfloat16 else 1e-4
     check("fused contextual mask", m_p, m_j, atol=tol)
 
-    # round-3 optional lowerings: DFT-matmul spectral core and the small-spec
-    # in-kernel upsample must match the default path ON THE REAL CHIP
+    # round-3 lowerings (now the config.py defaults), asserted ON THE REAL
+    # CHIP against an explicitly pinned FFT + full-spec pole. Two distinct
+    # contracts: the in-kernel small-spec upsample is the SAME algebra
+    # (identical operator matrices), so it gets a tight bound; the DFT-matmul
+    # spectral core is a DIFFERENT f32 algorithm from XLA's FFT custom call,
+    # and the spectral residual's log-amplitude cancellation amplifies their
+    # rounding difference to ~1.5e-3 in the final mask (with the DFT matmuls
+    # pinned to Precision.HIGHEST -- at the TPU bf16 default it was 3.5e-2,
+    # runs/tpu_selftest_r3.log history). 4e-3 bounds that cross-algorithm
+    # divergence; it is NOT a lowering-correctness tolerance (the CPU
+    # cv2-parity tests pass identically under both cores).
+    cfg_pole = SaliencyConfig(
+        mask_use_pallas=True, spectral_dft_matmul=False, mask_spec_small=False
+    )
+    m_pole = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pole))(imgs)
     for dft in (False, True):
         for small in (False, True):
             if not dft and not small:
@@ -170,19 +202,32 @@ def main():
                 mask_spec_small=small,
             )
             m_v = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_v))(imgs)
-            check(f"mask variant dft={dft} small={small}", m_v, m_p, atol=2e-4)
+            atol = 4e-3 if dft else 2e-4
+            check(f"mask variant dft={dft} small={small}", m_v, m_pole, atol=atol)
 
-    # u8 wire-format equivalence: the u8 ingestion path must match the f32 path
-    # evaluated on the SAME underlying (u8-representable) image. Comparing
-    # against the original continuous f32 input would differ by the input's own
-    # u8 quantization (~1/255 = 3.9e-3), which is not a kernel property.
+    # u8 wire-format equivalence. The structural contract (masks.py): u8
+    # ingestion computes gray255 = rgb_to_gray(float(u8)) in-graph, so it is
+    # BIT-IDENTICAL to feeding that gray255 f32 image -- assert that tightly.
     u8 = jnp.asarray(
         np.clip(np.round((np.asarray(imgs) + 1) * 127.5), 0, 255).astype(np.uint8)
     )
-    imgs_deq = u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+    from contextual_image_compression_tpu.ops import image_ops as iops
+
+    gray255 = jax.jit(lambda x: iops.rgb_to_gray(x.astype(jnp.float32)))(u8)
     m_u8 = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(u8)
+    m_gray = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(gray255)
+    check("fused mask u8 == gray255 wire (exact)", m_u8, m_gray, atol=1e-6)
+    # The [-1,1] dequantized-float image is NOT the same input: for dark
+    # pixels (u8 < 64) the (x+1)*127.5 renormalization is outside the
+    # Sterbenz-exact range and carries ~2^-24-scale rounding, which the
+    # spectral residual's log-amplitude cancellation amplifies
+    # input-dependently (measured up to ~1e-2 across image draws, identical
+    # under FFT and DFT cores). Loose bound = gross-wiring sentinel only;
+    # the tight contract above is the kernel property.
+    imgs_deq = u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
     m_deq = jax.jit(lambda x: M.compute_contextual_mask(x, cfg_pallas))(imgs_deq)
-    check("fused mask u8 == f32 wire", m_u8, m_deq, atol=1e-5)
+    check("fused mask u8 vs dequant-f32 (conditioning bound)", m_u8, m_deq,
+          atol=5e-2)
 
     # ---------------- DCT strip codec (ops/dct.py) ----------------------------
     from contextual_image_compression_tpu.config import DCTCodecConfig
