@@ -140,6 +140,19 @@ class ModelConfig:
     # activation max/round/cast overhead exceeds the halved weight stream --
     # so default off; kept as the record of the experiment. Inference-only.
     dense_int8: bool = False
+    # WEIGHT-ONLY int8 for the same four giant Dense layers (inference-only).
+    # Unlike dense_int8, activations stay bf16 -- y = x @ (q_w * s_w) with the
+    # per-output-column scale folded into the weight operand, so the only new
+    # per-call work is the int8->bf16 convert that XLA fuses into the dot's
+    # weight-operand load. Requires kernels pre-quantized OUTSIDE the jit via
+    # models/layers.py::quantize_dense_w8 (serving quantizes once at load);
+    # an unconverted fp kernel falls back to trace-time quantization (same
+    # numerics, no bandwidth win). Measured on v5e b128 (scripts/r3_w8_dense.py):
+    # the 4-layer stack 1.253 -> 0.675 ms -- the weight stream halves and, with
+    # the scale on the operand, the convert chain still streams int8. Weight
+    # rounding error is ~1.1e-2 rel RMS per layer (vs the ~4e-3 the bf16 cast
+    # already accepts); see PERF_NOTES for the decoded-image quality delta.
+    dense_w8: bool = False
     leaky_slope: float = 0.2
     # Self-attention at 32x32x256 in the HQ encoder only (reference: GAN_functions.py:315-318)
     hq_attention: bool = True

@@ -100,6 +100,7 @@ class AdaptiveCodec:
             leaky_slope=self.cfg.leaky_slope,
             attention_use_pallas=self.cfg.attention_use_pallas,
             dense_int8=self.cfg.dense_int8,
+            dense_w8=self.cfg.dense_w8,
             s2d_convs=self.cfg.encoder_s2d_convs,
             **self._dt(),
         )
@@ -112,6 +113,7 @@ class AdaptiveCodec:
             channels=self.cfg.encoder_channels,
             leaky_slope=self.cfg.leaky_slope,
             dense_int8=self.cfg.dense_int8,
+            dense_w8=self.cfg.dense_w8,
             s2d_convs=self.cfg.encoder_s2d_convs,
             **self._dt(),
         )
@@ -126,6 +128,7 @@ class AdaptiveCodec:
             polyphase=self.cfg.generator_polyphase,
             packed_tail=self.cfg.generator_packed_tail,
             dense_int8=self.cfg.dense_int8,
+            dense_w8=self.cfg.dense_w8,
             **self._dt(),
         )
 

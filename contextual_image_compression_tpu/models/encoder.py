@@ -40,6 +40,7 @@ class Encoder(nn.Module):
     leaky_slope: float = 0.2
     attention_use_pallas: bool = True
     dense_int8: bool = False  # W8A8 latent projection at inference (see KDense)
+    dense_w8: bool = False  # weight-only int8 latent projection (see KDense)
     s2d_convs: bool = False  # conv2/conv3 via space-to-depth k3/s1 (see KConv)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -83,6 +84,6 @@ class Encoder(nn.Module):
         flat = x4.reshape(x4.shape[0], -1)
         latent = KDense(
             self.latent_dim, int8=self.dense_int8 and not train,
-            name="latent_dense", **dt,
+            w8=self.dense_w8 and not train, name="latent_dense", **dt,
         )(flat)
         return latent, (skip1, skip2, skip3)

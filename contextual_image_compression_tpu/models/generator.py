@@ -40,6 +40,7 @@ class Generator(nn.Module):
     # numerics and checkpoint layout; inference-only -- see models/packed_tail.py).
     packed_tail: bool = False
     dense_int8: bool = False  # W8A8 fc projection at inference (see KDense)
+    dense_w8: bool = False  # weight-only int8 fc projection (see KDense)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -51,7 +52,8 @@ class Generator(nn.Module):
 
         x = KDense(
             self.base_hw * self.base_hw * self.base_ch,
-            int8=self.dense_int8 and not train, name="fc", **dt,
+            int8=self.dense_int8 and not train,
+            w8=self.dense_w8 and not train, name="fc", **dt,
         )(latent)
         x = x.reshape(x.shape[0], self.base_hw, self.base_hw, self.base_ch)
         x = KBatchNorm(name="bn0", **dt)(x, use_running_average=not train)

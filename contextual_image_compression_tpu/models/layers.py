@@ -283,23 +283,57 @@ class BNSurface(nn.Module):
 
 
 class KDense(nn.Module):
-    """Dense with keras defaults; optional W8A8 serving path.
+    """Dense with keras defaults; optional int8 serving paths.
 
-    int8=True evaluates y = (q_x @ q_w) * sx * sw + b with per-row activation
-    scales and per-column weight scales (symmetric, round-to-nearest). The
-    int8 MACs accumulate in int32 on the MXU and the weight stream halves --
-    these layers (131072x1024-class projections) are weight-bandwidth-bound.
-    Parameters stay fp32/bf16 in the checkpoint; quantization happens at
-    trace time on the weight side and per-call on the activation side.
-    Inference-only (callers gate on train)."""
+    int8=True (W8A8) evaluates y = (q_x @ q_w) * sx * sw + b with per-row
+    activation scales and per-column weight scales (symmetric,
+    round-to-nearest). The int8 MACs accumulate in int32 on the MXU and the
+    weight stream halves -- these layers (131072x1024-class projections) are
+    weight-bandwidth-bound. Parameters stay fp32/bf16 in the checkpoint;
+    quantization happens at trace time on the weight side and per-call on the
+    activation side. Inference-only (callers gate on train). Measured SLOWER
+    end to end (the activation max/round/cast passes win); kept as the record.
+
+    w8=True (WEIGHT-ONLY int8) keeps activations in compute dtype and folds
+    the per-column scale into the weight operand: y = x @ (q_w * s_w) + b.
+    The kernel param is expected to be PRE-QUANTIZED to int8 by
+    `quantize_dense_w8` (once, at load, outside the jit), with the fp32 scale
+    row stored as the sibling param `w8_scale`; XLA then fuses the int8->bf16
+    convert and the scale multiply into the dot's weight-operand load, so HBM
+    streams half the bytes. An unconverted fp kernel falls back to trace-time
+    quantization (same numerics, no bandwidth win -- the fp kernel is still
+    streamed to compute q_w). Measured on v5e b128: the codec's 4-layer stack
+    1.253 -> 0.675 ms (scripts/r3_w8_dense.py, w8_opr placement)."""
 
     features: int
     int8: bool = False
+    w8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.w8:
+            kernel, bias = DenseSurface(
+                self.features, self.param_dtype, name="Dense_0"
+            )(x.shape[-1])
+            cd = jnp.dtype(self.dtype)
+            # The scale row is OPTIONAL in the tree: quantize_dense_w8 adds it
+            # next to the kernels it converts; an unconverted tree (init
+            # template, freshly-loaded checkpoint, sub-threshold layer) has
+            # neither the int8 kernel nor the scale and quantizes at trace
+            # time instead. Declaring it with self.param would change the init
+            # surface and break checkpoint loading.
+            if kernel.dtype == jnp.int8 and self.has_variable("params", "w8_scale"):
+                q_w = kernel
+                scale = self.get_variable("params", "w8_scale")
+            else:  # unconverted: quantize at trace time (same numerics)
+                w32 = kernel.astype(jnp.float32)
+                scale = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0
+                q_w = jnp.round(w32 / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+            wd = q_w.astype(cd) * scale.astype(cd)
+            y = jnp.dot(x.astype(cd), wd) + bias.astype(cd)
+            return y.astype(cd)
         if not self.int8:
             return nn.Dense(
                 self.features,
@@ -352,3 +386,54 @@ class KBatchNorm(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
+
+
+def quantize_dense_w8(variables, min_elems: int = 1 << 23):
+    """Pre-quantize giant Dense kernels to weight-only int8 for serving.
+
+    Walks the params tree for `Dense_0` scopes whose kernel has >= `min_elems`
+    elements (the codec's four latent/fc projections at 131072x{512,1024} --
+    the next-largest Dense in the zoo is ~4M elements, so the default
+    threshold selects exactly those four), replaces each kernel with the
+    symmetric per-output-column int8 quantization round(w / s), s =
+    max|w|_col / 127, and stores s as the sibling `w8_scale` param that
+    `KDense(w8=True)` declares. Quantization happens HERE, on the host, once
+    -- never inside the jit (the whole point is that the compiled program
+    streams int8, not fp).
+
+    Call on the fp32 checkpoint BEFORE any bf16 cast so scales and symbols
+    derive from full-precision weights, and only when the codec is built with
+    `ModelConfig.dense_w8=True` (the non-w8 KDense branch would feed an int8
+    kernel straight into nn.Dense). Returns a new tree; non-kernel leaves are
+    shared, not copied.
+    """
+    import numpy as np
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for key, val in d.items():
+            if (
+                key == "Dense_0"
+                and isinstance(val, dict)
+                and "kernel" in val
+                and getattr(val["kernel"], "size", 0) >= min_elems
+                and jnp.issubdtype(jnp.asarray(val["kernel"]).dtype, jnp.floating)
+            ):
+                w32 = np.asarray(val["kernel"], dtype=np.float32)
+                s = np.max(np.abs(w32), axis=0, keepdims=True) / 127.0
+                q = np.round(w32 / np.maximum(s, 1e-12)).astype(np.int8)
+                out[key] = {**val, "kernel": jnp.asarray(q)}
+                out["w8_scale"] = jnp.asarray(s, dtype=jnp.float32)
+            elif isinstance(val, dict):
+                out[key] = walk(val)
+            else:
+                out[key] = val
+        return out
+
+    # The adaptive codec's variables are a dict of per-component Flax trees
+    # ({"hq_encoder": {"params": ...}, ...}); a single module's are
+    # {"params": ...}. Walking everything covers both -- only scopes literally
+    # named Dense_0 are touched, which exist only under params collections.
+    return walk(variables)

@@ -43,9 +43,15 @@ from contextual_image_compression_tpu.utils.tree import cast_floats
 
 
 def _serving_model_config(cfg: ModelConfig) -> ModelConfig:
-    """bf16 inference with the MXU-packed generator tail (the measured-fastest
-    serving configuration)."""
-    return dataclasses.replace(cfg, dtype="bfloat16", generator_packed_tail=True)
+    """bf16 inference with the MXU-packed generator tail and weight-only int8
+    for the four giant latent/fc projections (the measured-fastest serving
+    configuration: +1.9% e2e on v5e b128, decoded uint8 outputs bit-identical
+    to the bf16 path at bpp 0.1/1.0/2.0 -- the weight-rounding perturbation
+    sits below uint8 rounding granularity and the adaptive quantizer's own
+    latent rounding; see PERF_NOTES.md round-3 ledger)."""
+    return dataclasses.replace(
+        cfg, dtype="bfloat16", generator_packed_tail=True, dense_w8=True
+    )
 
 
 class CompressionPipeline:
@@ -88,6 +94,15 @@ class CompressionPipeline:
                 variables, self.provenance = template, {"all": "init"}
         else:
             self.provenance = {"all": "provided"}
+        if self.mcfg.dense_w8:
+            # Pre-quantize the giant dense kernels ONCE, from the fp32
+            # checkpoint, before the bf16 cast (scales and symbols derive from
+            # full precision; the compiled forward then streams int8).
+            from contextual_image_compression_tpu.models.layers import (
+                quantize_dense_w8,
+            )
+
+            variables = quantize_dense_w8(variables)
         self.variables = cast_floats(variables, jnp.bfloat16)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

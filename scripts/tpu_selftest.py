@@ -260,6 +260,34 @@ def main():
     print(f"  PASS train step finite: { {kk: round(vv, 4) for kk, vv in vals.items()} }")
     PASSED.append("train step finite")
 
+    # ------------- weight-only int8 dense serving (models/layers.py) ---------
+    # Asserts the converted-path numerics ON CHIP: the w8 KDense from a
+    # pre-quantized tree must equal the explicit q_w*s_w matmul computed in
+    # fp32 on the host, within bf16 accumulation tolerance at the production
+    # contraction depth. (The full-codec decode delta vs bf16 serving is
+    # measured in PERF_NOTES / verified at adoption time; here we pin the
+    # kernel-level contract the codec path builds on.)
+    from contextual_image_compression_tpu.models.layers import (
+        KDense,
+        quantize_dense_w8,
+    )
+
+    print("dense w8: pre-quantized int8 kernel path (K=131072, N=256)")
+    xw = jnp.asarray(rng.randn(8, 131072).astype(np.float32))
+    dense = KDense(256, w8=True, dtype=jnp.bfloat16)
+    vw = dense.init(jax.random.PRNGKey(3), xw)
+    vwq = quantize_dense_w8(vw, min_elems=1)
+    assert vwq["params"]["Dense_0"]["kernel"].dtype == jnp.int8
+    w32 = np.asarray(vw["params"]["Dense_0"]["kernel"], np.float32)
+    b32 = np.asarray(vw["params"]["Dense_0"]["bias"], np.float32)
+    s = np.max(np.abs(w32), axis=0, keepdims=True) / 127.0
+    wd = np.round(w32 / np.maximum(s, 1e-12)) * s
+    want = np.asarray(xw, np.float32) @ wd.astype(np.float32) + b32
+    got = np.asarray(jax.jit(dense.apply)(vwq, xw), np.float32)
+    # bf16 dot at K=131072: relative accumulation error ~2^-8 * sqrt-growth;
+    # bound relative to the output scale (|y| ~ sqrt(K)).
+    check("w8 dense vs host fp32 dequant", got / 362.0, want / 362.0, atol=3e-2)
+
     print(f"\ntpu_selftest: {len(PASSED)} checks passed on backend={backend}")
 
 
