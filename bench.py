@@ -32,14 +32,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure_images_per_sec(step_fn, params, x0, batch: int, iters: int = 30) -> float:
+REPEATS = 5  # independent chained-timing repeats per subject (spread recorded)
+
+
+def measure_images_per_sec(step_fn, params, x0, batch: int, iters: int = 30):
     """step_fn(params, x) -> x (same shape/dtype as x). `params` is passed as a
     JIT ARGUMENT (never a closure constant -- closing over the 800MB parameter
     pytree makes XLA constant-fold the module for minutes). Chains `n`
     data-dependent calls (serializing on the device queue), fetches ONE scalar to
     force completion through the relay (block_until_ready does not), and subtracts
     the single-call+fetch time. (A lax.fori_loop formulation deadlocks this
-    runtime's remote Pallas compile path.)"""
+    runtime's remote Pallas compile path.)
+
+    Returns (median_img_per_sec, [min, max] over REPEATS independent repeats) --
+    the spread is committed to BENCH_DETAILS.json so drift is distinguishable
+    from run-to-run noise (round-3 verdict: a +-1% noise band around a +1%
+    margin made single-number reporting ambiguous)."""
 
     fn = jax.jit(step_fn)
 
@@ -53,9 +61,12 @@ def measure_images_per_sec(step_fn, params, x0, batch: int, iters: int = 30) -> 
 
     timed(1)  # compile + warm
     t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(iters) for _ in range(2))
-    per_iter = max((tn - t1) / (iters - 1), 1e-9)
-    return batch / per_iter
+    samples = []
+    for _ in range(REPEATS):
+        per_iter = max((timed(iters) - t1) / (iters - 1), 1e-9)
+        samples.append(batch / per_iter)
+    samples.sort()
+    return samples[len(samples) // 2], [samples[0], samples[-1]]
 
 
 def main():
@@ -122,9 +133,15 @@ def main():
     )
     imgs32 = jnp.asarray(images_np)
     print("bench: e2e...", file=sys.stderr, flush=True)
-    e2e_ips = measure_images_per_sec(e2e_step, variables, imgs_u8, batch, iters)
+    e2e_ips, e2e_spread = measure_images_per_sec(
+        e2e_step, variables, imgs_u8, batch, iters
+    )
     details["contextual_gan_codec_256_e2e_bf16"] = e2e_ips
-    print(f"bench: e2e {e2e_ips:.0f} img/s", file=sys.stderr, flush=True)
+    details["contextual_gan_codec_256_e2e_bf16_minmax"] = e2e_spread
+    details["repeats_per_metric"] = REPEATS
+    print(f"bench: e2e {e2e_ips:.0f} img/s "
+          f"[{e2e_spread[0]:.0f}, {e2e_spread[1]:.0f}]",
+          file=sys.stderr, flush=True)
 
     # codec-only (fixed mask) for the breakdown
     mask_b = jnp.full((batch, 256, 256, 1), 0.5, jnp.bfloat16)
@@ -134,7 +151,8 @@ def main():
         return out.blended
 
     print("bench: codec-only...", file=sys.stderr, flush=True)
-    details["gan_codec_256_forward_bf16"] = measure_images_per_sec(
+    (details["gan_codec_256_forward_bf16"],
+     details["gan_codec_256_forward_bf16_minmax"]) = measure_images_per_sec(
         codec_step, variables, imgs32.astype(jnp.bfloat16), batch, iters
     )
     print("bench: codec-only %.0f img/s" % details["gan_codec_256_forward_bf16"],
@@ -146,7 +164,8 @@ def main():
         return imgs * 0.999 + mask[..., None] * 0.001
 
     print("bench: saliency...", file=sys.stderr, flush=True)
-    details["saliency_mask_engine_256"] = measure_images_per_sec(
+    (details["saliency_mask_engine_256"],
+     details["saliency_mask_engine_256_minmax"]) = measure_images_per_sec(
         sal_step, jnp.zeros(()), imgs32, batch, iters
     )
 
@@ -156,14 +175,16 @@ def main():
               ).astype(jnp.bfloat16)
     ae_vars = cast_floats(ae.init(jax.random.PRNGKey(1), img128), jnp.bfloat16)
     print("bench: ae...", file=sys.stderr, flush=True)
-    details["ae_codec_128_forward_bf16"] = measure_images_per_sec(
+    (details["ae_codec_128_forward_bf16"],
+     details["ae_codec_128_forward_bf16_minmax"]) = measure_images_per_sec(
         lambda v, x: ae.apply(v, x), ae_vars, img128, batch, iters
     )
 
     # ---------------- DCT Pallas baseline codec ------------------------------
     print("bench: dct...", file=sys.stderr, flush=True)
     dct = DCTCodec(DCTCodecConfig(use_pallas=on_tpu))
-    details["dct_codec_256_roundtrip"] = measure_images_per_sec(
+    (details["dct_codec_256_roundtrip"],
+     details["dct_codec_256_roundtrip_minmax"]) = measure_images_per_sec(
         lambda _, x: dct.roundtrip(x)[0], jnp.zeros(()), imgs32, batch, iters
     )
 
@@ -200,13 +221,18 @@ def main():
     # reference GAN_train.py:426-428) -- measure that schedule, plus each
     # variant separately for the details file.
     n_train = 2 * max(4, iters // 4)
-    t0 = time.perf_counter()
-    for i in range(n_train):
-        s, m = (step_with_d if i % 2 == 0 else step_no_d)(s, tbatch)
-    float(m["g_loss"])  # completion fence; fetch overhead << n_train * step time
-    details["gan_train_step_256_b16_img_per_sec"] = tb * n_train / (
-        time.perf_counter() - t0
-    )
+    train_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_train):
+            s, m = (step_with_d if i % 2 == 0 else step_no_d)(s, tbatch)
+        float(m["g_loss"])  # completion fence; fetch << n_train * step time
+        train_samples.append(tb * n_train / (time.perf_counter() - t0))
+    train_samples.sort()
+    details["gan_train_step_256_b16_img_per_sec"] = train_samples[1]
+    details["gan_train_step_256_b16_img_per_sec_minmax"] = [
+        train_samples[0], train_samples[-1]
+    ]
     for name, fn in (("with_d", step_with_d), ("no_d", step_no_d)):
         n = max(4, iters // 4)
         t0 = time.perf_counter()

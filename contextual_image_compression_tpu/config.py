@@ -124,11 +124,6 @@ class ModelConfig:
     # numerics and checkpoint layout. Train-mode calls fall back to the native
     # path (BatchNorm batch statistics need the pixel layout).
     generator_packed_tail: bool = False
-    # Batch the HQ+LQ encoders' first convs (same input image, no BN) into one
-    # full-lane conv at inference; exact up to accumulation order. Measured on
-    # v5e: the two half-output SLICES it feeds the encoders cost more than the
-    # saved conv pass (codec 4986 -> 4685 img/s at b128), so default off.
-    merge_first_conv: bool = False
     # Lower the encoders' stride-2 conv2/conv3 as space-to-depth + k3/s1 convs
     # with remapped kernels (models/layers.py::conv4s2_s2d_kernel): the same
     # function with 4x the input lanes per MXU tap. Exact and differentiable;

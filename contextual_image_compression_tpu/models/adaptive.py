@@ -295,34 +295,8 @@ class AdaptiveCodec:
                 return module.apply(variables[name], *args, train=False)
             return module.apply(variables[name], *args)
 
-        if not train and cfg.merge_first_conv:
-            # Both encoders' first convs read the SAME image and have no BN:
-            # batch them into one conv with 128 output channels (full MXU lane
-            # tile) instead of two 64-channel convs at 50% lane utilization,
-            # and read the image from HBM once. Exact up to conv accumulation
-            # order; inference-only to keep train-mode gradient paths going
-            # through the encoder modules themselves.
-            k_hq = variables["hq_encoder"]["params"]["conv1"]["Conv_0"]["kernel"]
-            b_hq = variables["hq_encoder"]["params"]["conv1"]["Conv_0"]["bias"]
-            k_lq = variables["lq_encoder"]["params"]["conv1"]["Conv_0"]["kernel"]
-            b_lq = variables["lq_encoder"]["params"]["conv1"]["Conv_0"]["bias"]
-            c1 = k_hq.shape[-1]
-            merged = jax.lax.conv_general_dilated(
-                img,
-                jnp.concatenate([k_hq, k_lq], axis=-1).astype(ct),
-                (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + jnp.concatenate([b_hq, b_lq]).astype(ct)
-            hq_latent, hq_skips = self.hq_encoder.apply(
-                variables["hq_encoder"], img, train=False,
-                stage1=merged[..., :c1],
-            )
-            lq_latent, lq_skips = self.lq_encoder.apply(
-                variables["lq_encoder"], img, train=False,
-                stage1=merged[..., c1:],
-            )
-        else:
-            hq_latent, hq_skips = run("hq_encoder", self.hq_encoder, img)
-            lq_latent, lq_skips = run("lq_encoder", self.lq_encoder, img)
+        hq_latent, hq_skips = run("hq_encoder", self.hq_encoder, img)
+        lq_latent, lq_skips = run("lq_encoder", self.lq_encoder, img)
 
         if cfg.skip_mode == "zero":
             # Storable-codec mode: sever the encoder->generator bypass so the

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from contextual_image_compression_tpu.models.attention import SelfAttention
 from contextual_image_compression_tpu.models.layers import (
-    ConvSurface,
     KBatchNorm,
     KConv,
     KDense,
@@ -46,19 +45,11 @@ class Encoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True, stage1=None):
-        """stage1: optional precomputed conv1 PRE-activation (the caller may
-        batch the HQ and LQ first convs over the shared input image into one
-        full-lane conv -- see AdaptiveCodec.apply); conv1's parameter surface
-        is still declared so the tree is unchanged."""
+    def __call__(self, x, train: bool = True):
         c1, c2, c3, c4 = self.channels
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        if stage1 is None:
-            x1 = KConv(c1, 4, 2, name="conv1", **dt)(x)
-        else:
-            ConvSurface(c1, 4, self.param_dtype, name="conv1")(x.shape[-1])
-            x1 = stage1
+        x1 = KConv(c1, 4, 2, name="conv1", **dt)(x)
         x1 = leaky_relu(x1, self.leaky_slope)
         skip1 = x1
 

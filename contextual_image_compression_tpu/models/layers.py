@@ -324,10 +324,22 @@ class KDense(nn.Module):
             # neither the int8 kernel nor the scale and quantizes at trace
             # time instead. Declaring it with self.param would change the init
             # surface and break checkpoint loading.
-            if kernel.dtype == jnp.int8 and self.has_variable("params", "w8_scale"):
+            if kernel.dtype == jnp.int8:
+                if not self.has_variable("params", "w8_scale"):
+                    # An int8 kernel with no scale row cannot be evaluated:
+                    # re-quantizing it would derive scale~1 from max|q|/127 and
+                    # silently drop the true per-column scale. Only
+                    # quantize_dense_w8 produces int8 kernels, and it always
+                    # stores the sibling w8_scale -- a missing one means a
+                    # hand-edited or partially-restored tree. Fail fast.
+                    raise ValueError(
+                        f"KDense(w8=True) '{self.name}': kernel is int8 but the "
+                        "sibling 'w8_scale' param is missing; the tree was not "
+                        "produced by quantize_dense_w8 (or lost its scale row)."
+                    )
                 q_w = kernel
                 scale = self.get_variable("params", "w8_scale")
-            else:  # unconverted: quantize at trace time (same numerics)
+            else:  # unconverted floating kernel: quantize at trace time
                 w32 = kernel.astype(jnp.float32)
                 scale = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0
                 q_w = jnp.round(w32 / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
@@ -335,13 +347,26 @@ class KDense(nn.Module):
             y = jnp.dot(x.astype(cd), wd) + bias.astype(cd)
             return y.astype(cd)
         if not self.int8:
-            return nn.Dense(
-                self.features,
-                kernel_init=glorot,
-                bias_init=zeros,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-            )(x)
+            kernel, bias = DenseSurface(
+                self.features, self.param_dtype, name="Dense_0"
+            )(x.shape[-1])
+            if not jnp.issubdtype(kernel.dtype, jnp.floating):
+                # quantize_dense_w8 converted this kernel but the module was
+                # built without w8=True: evaluating it as-is would cast the raw
+                # int8 symbols to compute dtype WITHOUT the scale -- silent
+                # garbage. Fail fast (serve.py/bench.py gate conversion on the
+                # flag; this guards every other caller).
+                raise TypeError(
+                    f"KDense '{self.name}': kernel dtype {kernel.dtype} is not "
+                    "floating but the module was built with w8=False/int8=False "
+                    "-- a w8-quantized tree is being applied by a non-w8 module."
+                )
+            cd = jnp.dtype(self.dtype)
+            y = jax.lax.dot_general(
+                x.astype(cd), kernel.astype(cd),
+                (((x.ndim - 1,), (0,)), ((), ())),
+            )
+            return y + bias.astype(cd)
         kernel, bias = DenseSurface(
             self.features, self.param_dtype, name="Dense_0"
         )(x.shape[-1])

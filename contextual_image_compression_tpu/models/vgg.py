@@ -85,6 +85,61 @@ def load_vgg19_params(weights_path: str) -> Optional[dict]:
     return {"params": params}
 
 
+# ---------------------------------------------------------------- fingerprint
+# Deterministic self-check carried INSIDE the weights file: the converter
+# (scripts/convert_vgg_weights.py) runs a fixed synthetic batch through the
+# five reference taps of the freshly-converted tower and stores each tap's
+# [mean, std] as the npz key 'fingerprint' (shape (5, 2)). The loader then
+# recomputes the same statistics at load time and refuses a file whose
+# activations drifted -- catching a wrong kernel transpose, a truncated
+# download, bit rot, or a mismatched source architecture, none of which the
+# shape check above can see.
+
+_FINGERPRINT_KEY = "fingerprint"
+_FINGERPRINT_SEED = 20260819
+_FINGERPRINT_SHAPE = (2, 64, 64, 3)
+
+
+def _fingerprint_batch() -> jnp.ndarray:
+    rs = np.random.RandomState(_FINGERPRINT_SEED)
+    x = rs.rand(*_FINGERPRINT_SHAPE).astype(np.float32) * 2.0 - 1.0
+    return jnp.asarray(x)
+
+
+def compute_tap_fingerprint(module: "VGG19Features", variables: dict) -> np.ndarray:
+    """(5, 2) float32 of per-tap [mean, std] activations on the fixed batch
+    (caffe-preprocessed, like every training-time call)."""
+    taps = module.apply(variables, preprocess_caffe(_fingerprint_batch()))
+    return np.array(
+        [[float(jnp.mean(t)), float(jnp.std(t))] for t in taps], np.float32
+    )
+
+
+def verify_tap_fingerprint(
+    module: "VGG19Features", variables: dict, expected: np.ndarray,
+    rtol: float = 2e-2,
+) -> None:
+    """Raise ValueError if the tower's tap statistics do not reproduce
+    `expected` within rtol (loose enough for CPU-vs-TPU f32 accumulation
+    differences; orders of magnitude tighter than any layout error)."""
+    got = compute_tap_fingerprint(module, variables)
+    expected = np.asarray(expected, np.float32)
+    if expected.shape != got.shape:
+        raise ValueError(
+            f"VGG19 fingerprint shape {expected.shape} != {got.shape}"
+        )
+    denom = np.maximum(np.abs(expected), 1e-3)
+    rel = np.abs(got - expected) / denom
+    if not np.all(rel <= rtol):
+        worst = float(rel.max())
+        raise ValueError(
+            "VGG19 weights failed their stored activation fingerprint "
+            f"(max rel error {worst:.3g} > {rtol}): the file is corrupt, "
+            "mis-converted, or from a different architecture. Re-run "
+            "scripts/convert_vgg_weights.py on a fresh source checkpoint."
+        )
+
+
 def load_vgg19_features(weights_path: str):
     """Returns (module, variables) or None (=> perceptual loss disabled, mirroring the
     reference's fallback at GAN_train.py:187-195).
@@ -111,4 +166,8 @@ def load_vgg19_features(weights_path: str):
     variables = load_vgg19_params(weights_path)
     if variables is None:
         return None
-    return VGG19Features(), variables
+    module = VGG19Features()
+    data = np.load(weights_path)
+    if _FINGERPRINT_KEY in data:
+        verify_tap_fingerprint(module, variables, data[_FINGERPRINT_KEY])
+    return module, variables

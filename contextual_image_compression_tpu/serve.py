@@ -4,9 +4,10 @@ Packages the full flagship path -- batched on-device saliency -> contextual
 mask -> adaptive GAN codec encode+decode -> uint8 re-encode -- as one jitted
 callable in the production wire format (uint8 RGB both ways; the mask engine
 consumes u8 exactly, see ops/masks.compute_contextual_mask). This is the
-pipeline `bench.py` measures (4,962 img/s/chip on one v5e at batch 128) made
-available as an API; the reference has no serving tier at all (its eval loop
-is per-image host OpenCV + predict, GAN_test.py:265-340).
+pipeline `bench.py` measures -- the committed, variance-qualified numbers
+live in BENCH_DETAILS.json (one source of truth; README mirrors it). The
+reference has no serving tier at all (its eval loop is per-image host
+OpenCV + predict, GAN_test.py:265-340).
 
 Also exposes real-bitstream serialization of the quantized latents (measured
 bpp; ops/bitstream.py). Note the architectural caveat inherited from the
@@ -75,11 +76,22 @@ class CompressionPipeline:
     ):
         """`mesh`: optional (data, model) mesh from `parallel.create_mesh` --
         serving then runs SPMD data-parallel: parameters are replicated, every
-        request batch is sharded on the mesh's 'data' axis, and the jitted
-        forward executes on all mesh devices at once (the codec has no
-        cross-image coupling, so DP serving scales ~linearly -- see
-        runs/mesh_scaling.json for the training-side measurement of the same
-        mesh tier). Requests are padded to a multiple of the data-axis size."""
+        request batch is sharded over the mesh devices, and the jitted forward
+        executes on all of them at once. The codec has no cross-image
+        coupling, so per-image work is independent; no multi-chip serving
+        throughput has been MEASURED (this container has one chip) --
+        correctness of the sharded path is what is validated, by
+        tests/test_serve.py and the driver's dryrun_multichip serving leg.
+        Requests are padded to a multiple of the data-axis size.
+
+        Batching contract: requests compile one executable per distinct
+        execution batch. Ragged sizes are padded UP to the smallest
+        already-compiled batch that fits, else to the next power of two
+        (so a 129-image request executes at 256 -- up to ~2x padded compute
+        on odd sizes, in exchange for a bounded executable set: warmup sizes
+        plus at most log2(max batch) power-of-two buckets). Call
+        `warmup(batch)` with your production batch sizes to pin exact-fit
+        executables."""
         self.mesh = mesh
         self.mcfg = _serving_model_config(model_config or ModelConfig())
         self.scfg = saliency_config or SaliencyConfig()
@@ -103,7 +115,11 @@ class CompressionPipeline:
             )
 
             variables = quantize_dense_w8(variables)
-        self.variables = cast_floats(variables, jnp.bfloat16)
+        # w8_scale rows stay fp32 per the storage contract in models/layers.py
+        # (KDense casts them to compute dtype at the multiply).
+        self.variables = cast_floats(
+            variables, jnp.bfloat16, skip_keys=("w8_scale",)
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -35,11 +35,18 @@ def find_nonfinite(tree: Any) -> Dict[str, float]:
     return bad
 
 
-def cast_floats(tree: Any, dtype) -> Any:
-    """Cast floating-point leaves (e.g. fp32 -> bf16 for inference)."""
-    def one(x):
+def cast_floats(tree: Any, dtype, skip_keys: tuple = ()) -> Any:
+    """Cast floating-point leaves (e.g. fp32 -> bf16 for inference).
+
+    `skip_keys`: leaf key names left untouched -- serving uses it to keep the
+    fp32 `w8_scale` rows that quantize_dense_w8 stores next to int8 kernels in
+    their documented storage dtype (models/layers.py::KDense).
+    """
+    def one(path, x):
+        if skip_keys and path and getattr(path[-1], "key", None) in skip_keys:
+            return x
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
-    return jax.tree.map(one, tree)
+    return jax.tree_util.tree_map_with_path(one, tree)

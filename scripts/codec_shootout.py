@@ -28,7 +28,13 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--test-dir", default="")
     p.add_argument("--synthetic", type=int, default=16)
+    p.add_argument("--synthetic-rich", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-dir", default="models_ckpt")
+    p.add_argument("--skipfree-dir", default="",
+                   help="optional skip_mode='zero' checkpoint: adds the "
+                   "storable codec's bytes->image RD series (true container "
+                   "bpp, decode with no encoder in the loop)")
     p.add_argument("--ae-dir", default="ae_model")
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--out", default="codec_shootout.json")
@@ -53,10 +59,12 @@ def main():
     if args.test_dir:
         images, names, _ = image_io.load_folder_gan(args.test_dir, size)
     else:
-        images = image_io.synthetic_images(args.synthetic, size, seed=0)
+        gen = (image_io.rich_synthetic_images if args.synthetic_rich
+               else image_io.synthetic_images)
+        images = gen(args.synthetic, size, seed=args.seed)
     print(f"{len(images)} images at {size}")
     imgs = jnp.asarray(images)
-    results = {"dct": [], "gan": [], "ae": []}
+    results = {"dct": [], "gan": [], "gan_storable": [], "ae": []}
 
     # ------------------------------------------------------------------- DCT
     for q in (10, 20, 30, 50, 75, 90):
@@ -110,6 +118,40 @@ def main():
         })
         print("gan", results["gan"][-1])
 
+    # ----------------------------------------------------- storable GAN codec
+    if args.skipfree_dir:
+        from contextual_image_compression_tpu.ops.metrics import (
+            psnr as psnr_fn, ssim_rgb_channel_mean,
+        )
+        from contextual_image_compression_tpu.serve import CompressionPipeline
+
+        sf_cfg = dataclasses.replace(mcfg, skip_mode="zero")
+        pipe = CompressionPipeline(
+            model_dir=args.skipfree_dir, model_config=sf_cfg
+        )
+        print("storable codec weights:", pipe.provenance)
+        imgs_u8 = np.clip(
+            np.round((np.asarray(images) + 1.0) * 127.5), 0, 255
+        ).astype(np.uint8)
+        ref01 = jnp.asarray(imgs_u8.astype(np.float32) / 255.0)
+        npix = float(size[0] * size[1])
+        for bpp in (0.1, 0.5, 1.0, 2.0):
+            streams = pipe.encode_to_bitstream(
+                imgs_u8, target_bpp=bpp, mask_downsample=8
+            )
+            dec = jnp.asarray(
+                pipe.decode_from_bitstream(streams).astype(np.float32) / 255.0
+            )
+            results["gan_storable"].append({
+                "target_bpp": bpp,
+                "bpp_container": float(np.mean(
+                    [len(s) * 8.0 / npix for s in streams]
+                )),
+                "psnr": float(jnp.mean(psnr_fn(ref01, dec))),
+                "ssim": float(jnp.mean(ssim_rgb_channel_mean(ref01, dec))),
+            })
+            print("gan_storable", results["gan_storable"][-1])
+
     # -------------------------------------------------------------------- AE
     acfg = AutoencoderConfig(img_size=(128, 128))
     trainer = AETrainer(acfg, log_fn=lambda *_: None)
@@ -155,6 +197,10 @@ def main():
     plt.plot([r["bpp_measured"] for r in results["gan"]],
              [r["psnr"] for r in results["gan"]], "bs-",
              label=f"GAN codec ({'trained' if trained else 'untrained'})")
+    if results["gan_storable"]:
+        plt.plot([r["bpp_container"] for r in results["gan_storable"]],
+                 [r["psnr"] for r in results["gan_storable"]], "gd-",
+                 label="GAN storable codec (bytes->image, container bpp)")
     plt.plot([r["bpp_measured"] for r in results["ae"]],
              [r["psnr"] for r in results["ae"]], "r^", markersize=10,
              label=f"AE ({'trained' if ae_trained else 'untrained'})")

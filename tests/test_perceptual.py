@@ -239,3 +239,68 @@ def test_load_vgg19_random_seeded():
     taps2 = m1.apply(v1, jnp.zeros((1, 32, 32, 3)))
     val = L.perceptual_loss(taps, taps2, [0.1, 0.1, 0.2, 0.3, 0.3])
     assert float(val) > 0.0
+
+
+# ------------------------------------------------------------- fingerprinting
+def test_fingerprint_roundtrip_and_corruption_detection(tmp_path):
+    """The converter stores a tap-activation fingerprint inside the npz;
+    load_vgg19_features re-verifies it (models/vgg.py) -- a corrupted kernel
+    must be refused at load, a faithful file must load."""
+    weights = _pseudo_weights()
+    params = {
+        name[: -len("_kernel")]: {
+            "kernel": jnp.asarray(weights[name]),
+            "bias": jnp.asarray(weights[name[: -len("_kernel")] + "_bias"]),
+        }
+        for name in weights
+        if name.endswith("_kernel")
+    }
+    fp = vgg_mod.compute_tap_fingerprint(VGG19Features(), {"params": params})
+    assert fp.shape == (5, 2) and np.all(np.isfinite(fp))
+
+    good = tmp_path / "good.npz"
+    np.savez(str(good), **weights, **{vgg_mod._FINGERPRINT_KEY: fp})
+    bundle = load_vgg19_features(str(good))
+    assert bundle is not None  # fingerprint verified at load
+
+    # corrupt ONE kernel with a transpose (shape-preserving on 3x3xCxC blocks
+    # only when C_in == C_out, so scale instead: wrong magnitude, same shape)
+    bad_weights = dict(weights)
+    bad_weights["block3_conv2_kernel"] = weights["block3_conv2_kernel"] * 3.0
+    bad = tmp_path / "bad.npz"
+    np.savez(str(bad), **bad_weights, **{vgg_mod._FINGERPRINT_KEY: fp})
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_vgg19_features(str(bad))
+
+    # a legacy npz with NO fingerprint still loads (backward compatible)
+    legacy = tmp_path / "legacy.npz"
+    np.savez(str(legacy), **weights)
+    assert load_vgg19_features(str(legacy)) is not None
+
+
+def test_fingerprint_determinism():
+    """Same weights => identical fingerprint across calls (fixed batch)."""
+    model = VGG19Features()
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)))
+    f1 = vgg_mod.compute_tap_fingerprint(model, variables)
+    f2 = vgg_mod.compute_tap_fingerprint(model, variables)
+    np.testing.assert_array_equal(f1, f2)
+    vgg_mod.verify_tap_fingerprint(model, variables, f1)  # must not raise
+
+
+def test_real_imagenet_vgg_weights_if_present():
+    """When a converted ImageNet weights file exists (CIC_VGG19_NPZ env var or
+    ./vgg19_imagenet.npz), its stored fingerprint must verify and the loader
+    must accept it. Skipped in the no-egress container."""
+    import os
+
+    path = os.environ.get("CIC_VGG19_NPZ", "vgg19_imagenet.npz")
+    if not os.path.exists(path):
+        pytest.skip("no ImageNet VGG19 weights file in this environment")
+    bundle = load_vgg19_features(path)
+    assert bundle is not None
+    data = np.load(path)
+    assert vgg_mod._FINGERPRINT_KEY in data, (
+        "real weights file lacks a fingerprint -- re-run "
+        "scripts/convert_vgg_weights.py to produce a verified file"
+    )
