@@ -90,9 +90,16 @@ class QuantizerConfig:
       'ste'       -- straight-through estimator: forward numerics identical, backward
         treats round as identity w.r.t. the latent. This fixes the reference's
         zero-gradient bottleneck defect.
+      'auto'      -- resolve from the skip topology per the measured ablations
+        (ModelConfig.resolved_quantizer): 'reference' for skip_mode='encoder'
+        (runs/r3_ste_ablation: STE costs ~1.6 dB PSNR at 3-4x the bitstream
+        entropy when skips carry reconstruction), 'ste' for skip_mode='zero'
+        (runs/r4_skipfree: with the skips severed the latents are the only
+        payload and need the gradient). Forward numerics are identical in all
+        modes, so checkpoints and serving are unaffected by the choice.
     """
 
-    grad_mode: str = "ste"  # 'reference' | 'ste'
+    grad_mode: str = "auto"  # 'auto' | 'reference' | 'ste'
     scale_coeff: float = 3.0  # scale = exp(3 * quant_strength * (1 - saliency))
     use_pallas: bool = True
 
@@ -193,6 +200,15 @@ class ModelConfig:
 
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    def resolved_quantizer(self) -> QuantizerConfig:
+        """QuantizerConfig with grad_mode='auto' resolved by skip topology
+        (see QuantizerConfig.grad_mode for the measurements behind the map)."""
+        q = self.quantizer
+        if q.grad_mode != "auto":
+            return q
+        mode = "reference" if self.skip_mode == "encoder" else "ste"
+        return dataclasses.replace(q, grad_mode=mode)
 
 
 @dataclasses.dataclass(frozen=True)

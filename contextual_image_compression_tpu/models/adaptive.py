@@ -327,8 +327,9 @@ class AdaptiveCodec:
         overall, threshold, quant_strength = self.rd_schedule(target_bpp)
         dyn_thr = self.dynamic_threshold(mask, threshold)
 
-        zq_hq = adaptive_quantize(hq_latent, s_hq_quant, quant_strength, cfg.quantizer)
-        zq_lq = adaptive_quantize(lq_latent, s_lq_quant, quant_strength, cfg.quantizer)
+        qcfg = cfg.resolved_quantizer()  # 'auto' -> topology-measured mode
+        zq_hq = adaptive_quantize(hq_latent, s_hq_quant, quant_strength, qcfg)
+        zq_lq = adaptive_quantize(lq_latent, s_lq_quant, quant_strength, qcfg)
 
         hq_out = run("hq_generator", self.hq_generator, zq_hq, hq_skips)
         lq_out = run("lq_generator", self.lq_generator, zq_lq, lq_skips)

@@ -188,6 +188,12 @@ def adaptive_quantize(
     saliency_score, quant_strength: (B, 1) in [0, 1].
     """
     cfg = config or QuantizerConfig()
+    if cfg.grad_mode == "auto":
+        raise ValueError(
+            "grad_mode='auto' is a topology-level default; resolve it first "
+            "via ModelConfig.resolved_quantizer() (or pass an explicit "
+            "'reference'/'ste' QuantizerConfig when calling standalone)."
+        )
     if cfg.use_pallas:
         return _adaptive_quantize_pallas(
             latent, saliency_score, quant_strength, cfg.scale_coeff, cfg.grad_mode

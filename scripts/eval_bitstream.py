@@ -16,7 +16,7 @@ reference only ever computes analytic bpp with the encoder in the loop
 (GAN_test.py:314-325) -- this path has no reference counterpart.
 
 Usage:
-  python scripts/eval_bitstream.py --model-dir runs/r3_skipfree/models_ckpt \
+  python scripts/eval_bitstream.py --model-dir runs/r4_skipfree/ste/models_ckpt \
       --skip-mode zero --synthetic 8 --synthetic-rich --seed 7
 """
 
@@ -38,6 +38,8 @@ def main():
     p.add_argument("--skip-mode", choices=["encoder", "zero"], default="zero")
     p.add_argument("--bpps", type=float, nargs="+", default=[0.1, 1.0, 2.0])
     p.add_argument("--mask-downsample", type=int, default=8)
+    p.add_argument("--out", default="",
+                   help="optional JSON path for the per-bpp results table")
     args = p.parse_args()
 
     import dataclasses
@@ -63,6 +65,7 @@ def main():
 
     ref = jnp.asarray(imgs_u8.astype(np.float32) / 255.0)
     npix = imgs_u8.shape[1] * imgs_u8.shape[2]
+    rows = []
     for bpp in args.bpps:
         # Forward-path decode (encoder in the loop) for comparison.
         fwd_u8, _ = pipe(imgs_u8, target_bpp=bpp)
@@ -80,12 +83,29 @@ def main():
         container_bpp = float(
             np.mean([len(s) * 8.0 / npix for s in streams])
         )
+        rows.append({
+            "target_bpp": bpp,
+            "bitstream_decode_psnr": dec_psnr,
+            "bitstream_decode_ssim": dec_ssim,
+            "container_bpp": container_bpp,
+            "forward_path_psnr": fwd_psnr,
+        })
         print(
             f"bpp {bpp}: bitstream-decode PSNR {dec_psnr:.2f} dB, "
             f"SSIM {dec_ssim:.4f}, container bpp {container_bpp:.4f} "
             f"(forward-path PSNR {fwd_psnr:.2f} dB, "
             f"delta {dec_psnr - fwd_psnr:+.2f} dB)"
         )
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump({
+                "model_dir": args.model_dir, "skip_mode": args.skip_mode,
+                "images": args.synthetic, "seed": args.seed,
+                "mask_downsample": args.mask_downsample, "rows": rows,
+            }, f, indent=2)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

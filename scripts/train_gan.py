@@ -31,7 +31,11 @@ def main():
     p.add_argument("--model-dir", default=None)
     p.add_argument("--vgg-weights", default="")
     p.add_argument("--no-perceptual", action="store_true")
-    p.add_argument("--quant-grad-mode", choices=["ste", "reference"], default="ste")
+    p.add_argument("--quant-grad-mode", choices=["auto", "ste", "reference"],
+                   default="auto",
+                   help="'auto' follows the measured per-topology map "
+                   "(encoder skips -> 'reference', zero skips -> 'ste'; "
+                   "see QuantizerConfig.grad_mode)")
     p.add_argument("--skip-mode", choices=["encoder", "zero"], default="encoder",
                    help="'zero' trains the storable codec (generators see no "
                    "encoder skips; the latent bitstream alone reconstructs -- "
