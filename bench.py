@@ -107,7 +107,8 @@ def main():
     from contextual_image_compression_tpu.models.layers import quantize_dense_w8
 
     cfg = dataclasses.replace(
-        ModelConfig(dtype="bfloat16"), generator_packed_tail=True, dense_w8=True
+        ModelConfig(dtype="bfloat16"), generator_packed_tail=True, dense_w8=True,
+        packed_tail_int8=True,
     )
     codec = AdaptiveCodec(cfg)
     variables = cast_floats(

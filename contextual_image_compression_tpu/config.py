@@ -131,6 +131,16 @@ class ModelConfig:
     # numerics and checkpoint layout. Train-mode calls fall back to the native
     # path (BatchNorm batch statistics need the pixel layout).
     generator_packed_tail: bool = False
+    # int8 storage for the packed tail's planar intermediate (requires
+    # generator_packed_tail; inference-only). The phase-planar tensor is the
+    # codec's largest intermediate (537 MB/branch at b128 bf16) and both tail
+    # convs are HBM-bound on it; storing it int8 with per-channel ranges
+    # derived from the folded BN statistics (|shift| + 8*|bn_scale|, i.e. an
+    # 8-sigma symmetric margin) halves that traffic. Measured on v5e b128:
+    # -0.745 ms/branch on the tail composite (runs/r4_perf_experiments.log);
+    # decoded-u8 parity vs the bf16 tail quantified at adoption (PERF_NOTES).
+    # The serving tier and bench.py enable it; training never sees it.
+    packed_tail_int8: bool = False
     # Lower the encoders' stride-2 conv2/conv3 as space-to-depth + k3/s1 convs
     # with remapped kernels (models/layers.py::conv4s2_s2d_kernel): the same
     # function with 4x the input lanes per MXU tap. Exact and differentiable;

@@ -127,6 +127,7 @@ class AdaptiveCodec:
             leaky_slope=self.cfg.leaky_slope,
             polyphase=self.cfg.generator_polyphase,
             packed_tail=self.cfg.generator_packed_tail,
+            packed_tail_int8=self.cfg.packed_tail_int8,
             dense_int8=self.cfg.dense_int8,
             dense_w8=self.cfg.dense_w8,
             **self._dt(),

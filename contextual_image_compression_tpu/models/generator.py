@@ -39,6 +39,9 @@ class Generator(nn.Module):
     # MXU-packed lowering of deconv4+BN+LeakyReLU+out_conv+tanh (identical
     # numerics and checkpoint layout; inference-only -- see models/packed_tail.py).
     packed_tail: bool = False
+    # int8 storage for the packed tail's planar intermediate (serving lowering,
+    # bounded-error: see packed_tail_forward int8_planar + ModelConfig).
+    packed_tail_int8: bool = False
     dense_int8: bool = False  # W8A8 fc projection at inference (see KDense)
     dense_w8: bool = False  # weight-only int8 fc projection (see KDense)
     dtype: jnp.dtype = jnp.float32
@@ -81,6 +84,7 @@ class Generator(nn.Module):
                 bn_scale, bn_bias, bn_mean, bn_var,
                 ko, bo.astype(self.dtype),
                 bn_eps=1e-3, leaky_slope=self.leaky_slope,
+                int8_planar=self.packed_tail_int8,
             )
 
         x = KConv(self.out_channels, 4, 1, name="out_conv", **dt)(x)

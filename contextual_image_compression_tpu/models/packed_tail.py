@@ -163,13 +163,25 @@ def packed_conv4x4s2_s2d(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarr
     return y + tile_phases(bias, 16).astype(y.dtype)
 
 
-def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
+def packed_conv4x4s2_strided(
+    yall: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    in_scales: jnp.ndarray | None = None,
+    compute_dtype: jnp.dtype | None = None,
+):
     """4x4/s1 SAME conv over the virtual pixels, as ONE stride-2 4x4 conv read
     directly from the (boundary-masked) phase-planar tensor -- no layout pass.
 
     yall: (B, H+1, W+1, 4*Cin) planar phases of z (2H, 2W, Cin), already
     boundary-masked. kernel: (4, 4, Cin, Cout). Returns (B, H/2, W/2, 16*Cout)
     with channel layout (u, v, o); depth_to_space4 restores pixels.
+
+    in_scales: optional (4*Cin,) per-packed-channel dequantization scales for
+    an int8-stored yall; they fold into the strided kernel's input-channel
+    rows at trace time, and the int8->compute_dtype convert fuses into the
+    conv's operand load (the dense_w8 lesson, models/layers.py) -- the planar
+    tensor then crosses HBM at 1 byte/elem instead of 2.
 
     Derivation: the conv output at pixel (4T+u, 4S+v) reads z'[4T+u+dy, ...] =
     z[4T+u+dy-1] = yall[row 2T + dyp, slab a] with a = (u+dy+1) % 2 and
@@ -178,7 +190,14 @@ def packed_conv4x4s2_strided(yall: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.n
     row/col, applied with stride 2, covers every (T, u) at once.
     """
     w_str = strided_wstr(kernel)
-    ypad = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    if in_scales is not None:
+        cd = compute_dtype or kernel.dtype
+        w_str = (
+            w_str.astype(jnp.float32) * in_scales.astype(jnp.float32)[None, None, :, None]
+        ).astype(cd)
+        ypad = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0))).astype(cd)
+    else:
+        ypad = jnp.pad(yall, ((0, 0), (0, 1), (0, 1), (0, 0)))
     y = jax.lax.conv_general_dilated(
         ypad, w_str, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
@@ -362,6 +381,8 @@ def packed_tail_forward(
     bn_eps: float = 1e-3,
     leaky_slope: float = 0.2,
     use_pallas: bool = False,
+    int8_planar: bool = False,
+    int8_sigma: float = 8.0,
 ) -> jnp.ndarray:
     """Full packed tail: deconv4 -> +bias -> BN(inference) -> LeakyReLU ->
     out_conv -> +bias -> tanh, identical numerics to the native pixel-space
@@ -410,6 +431,32 @@ def packed_tail_forward(
     row_m, col_m = boundary_masks(x.shape[1], cmid)
     yall = yall * jnp.asarray(row_m, yall.dtype)[None, :, None, :]
     yall = yall * jnp.asarray(col_m, yall.dtype)[None, None, :, :]
+    if int8_planar:
+        # Store the materialized planar tensor as int8: it is the largest
+        # intermediate of the whole codec ((B, H+1, W+1, 4*Cmid) -- 537 MB at
+        # b128 bf16) and BOTH tail convs are HBM-bound on it, so halving its
+        # byte width buys real time (measured -0.745 ms/branch at b128 on v5e,
+        # runs/r4_perf_experiments.log). Per-channel ranges come from the
+        # folded BN statistics -- post-fold channel c has mean shift[c] and
+        # std ~|bn_scale[c]| when the running stats describe the data -- with
+        # an int8_sigma-sigma symmetric margin; the rare clipped outlier feeds
+        # a tanh that saturates anyway. The quantize epilogue fuses into the
+        # producer deconv; the dequant scales fold into the consumer kernel's
+        # input rows; the int8->bf16 convert fuses into the conv operand load.
+        amax = jnp.maximum(
+            jnp.abs(shift) + float(int8_sigma) * jnp.abs(bn_scale.astype(jnp.float32)),
+            1e-6,
+        )
+        q = jnp.clip(
+            jnp.round(yall.astype(jnp.float32) * tile_phases(127.0 / amax)),
+            -127.0, 127.0,
+        ).astype(jnp.int8)
+        q = jax.lax.optimization_barrier(q)
+        y = packed_conv4x4s2_strided(
+            q, out_kernel, out_bias,
+            in_scales=tile_phases(amax / 127.0), compute_dtype=x.dtype,
+        )
+        return depth_to_space4(jnp.tanh(y), cout)
     # Materialize yall: without the barrier XLA fuses the producer deconv INTO
     # the strided conv and recomputes it per output tile (measured 4.1 ms vs
     # the two convs' ~2 ms separate).

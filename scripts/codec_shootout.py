@@ -31,6 +31,10 @@ def main():
     p.add_argument("--synthetic-rich", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-dir", default="models_ckpt")
+    p.add_argument("--gan-skip-mode", choices=["encoder", "zero"], default="encoder",
+                   help="skip topology of the --model-dir checkpoint (pass "
+                   "'zero' to run the forward-path GAN series from a skip-free "
+                   "checkpoint when no encoder-skip checkpoint is on disk)")
     p.add_argument("--skipfree-dir", default="",
                    help="optional skip_mode='zero' checkpoint: adds the "
                    "storable codec's bytes->image RD series (true container "
@@ -87,6 +91,7 @@ def main():
     # ------------------------------------------------------------------- GAN
     mcfg = ModelConfig(
         img_size=size, generator_base_hw=args.img_size // 16,
+        skip_mode=args.gan_skip_mode,
     )
     ecfg = EvalConfig(model=mcfg, model_dir=args.model_dir)
     evaluator = CodecEvaluator(ecfg)

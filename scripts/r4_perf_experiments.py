@@ -60,7 +60,9 @@ def main():
     k_deconv = jnp.asarray(rng.randn(4, 4, cin, cmid).astype(np.float32) * 0.05)
     k_out = jnp.asarray(rng.randn(4, 4, cmid, cout).astype(np.float32) * 0.05)
     bias_out = jnp.zeros((cout,), jnp.float32)
-    shift = jnp.asarray(rng.randn(4 * cmid).astype(np.float32) * 0.1)
+    # (cmid,) per-channel BN-folded shift; tile_phases expands it to the
+    # packed (4*cmid,) planar layout.
+    shift = jnp.asarray(rng.randn(cmid).astype(np.float32) * 0.1)
 
     w_str = pt.strided_wstr(k_out.astype(dt))
 
