@@ -44,14 +44,15 @@ from contextual_image_compression_tpu.utils.tree import cast_floats
 
 
 def _serving_model_config(cfg: ModelConfig) -> ModelConfig:
-    """bf16 inference with the MXU-packed generator tail and weight-only int8
-    for the four giant latent/fc projections (the measured-fastest serving
-    configuration: +1.9% e2e on v5e b128, decoded uint8 outputs bit-identical
-    to the bf16 path at bpp 0.1/1.0/2.0 -- the weight-rounding perturbation
-    sits below uint8 rounding granularity and the adaptive quantizer's own
-    latent rounding; see PERF_NOTES.md round-3 ledger)."""
+    """bf16 inference with the MXU-packed generator tail, int8 storage for the
+    tail's phase-planar intermediate, and weight-only int8 for the four giant
+    latent/fc projections (the measured-fastest serving configuration on v5e
+    b128; decoded uint8 parity vs the exact bf16 path quantified per lowering
+    in PERF_NOTES.md round-3/round-4 ledgers -- dense_w8 is u8-bit-identical,
+    packed_tail_int8 is bounded by the planar quantization step)."""
     return dataclasses.replace(
-        cfg, dtype="bfloat16", generator_packed_tail=True, dense_w8=True
+        cfg, dtype="bfloat16", generator_packed_tail=True, dense_w8=True,
+        packed_tail_int8=True,
     )
 
 

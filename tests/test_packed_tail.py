@@ -157,6 +157,81 @@ def test_fused_tail_pallas_real_scale(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_packed_tail_int8_planar_within_quantization_bound(rng):
+    """int8_planar stores the phase-planar intermediate as int8 with
+    per-channel scales amax = |shift| + 8|bn_scale| (the folded-BN 8-sigma
+    envelope). The output must stay within the analytic quantization bound:
+    per output channel, |err_pre_tanh| <= sum_taps |w_str| * step/2 with
+    step = amax/127 per input channel, and tanh is 1-Lipschitz. BN stats are
+    calibrated on the data itself so the envelope actually describes yall."""
+    cmid, cout = 8, 3
+    x = _rand(rng, 4, 8, 8, 16) * 0.5
+    k4 = _rand(rng, 4, 4, 16, cmid) * 0.1
+    b4 = _rand(rng, cmid) * 0.1
+    ko = _rand(rng, 4, 4, cmid, cout) * 0.1
+    bo = _rand(rng, cout) * 0.1
+    scale = jnp.abs(_rand(rng, cmid)) * 0.3 + 0.2
+    bias = _rand(rng, cmid) * 0.2
+    # calibrate mean/var from the actual deconv output so post-BN channels
+    # really are ~N(bias, scale^2) and the 8-sigma envelope holds
+    dc = nn.ConvTranspose(cmid, (4, 4), strides=(2, 2), padding="SAME")
+    z = dc.apply({"params": {"kernel": k4, "bias": b4}}, x)
+    mean = jnp.mean(z, axis=(0, 1, 2))
+    var = jnp.var(z, axis=(0, 1, 2))
+
+    want = packed_tail_forward(x, k4, b4, scale, bias, mean, var, ko, bo)
+    got = packed_tail_forward(
+        x, k4, b4, scale, bias, mean, var, ko, bo, int8_planar=True
+    )
+    assert got.shape == want.shape
+    # analytic bound: shift is the folded bias term; post-BN+fold the channel
+    # mean is bias and std is |scale| (by calibration), so amax matches the
+    # implementation's envelope
+    inv = 1.0 / np.sqrt(np.asarray(var, np.float64) + 1e-3)
+    shift = np.asarray(bias, np.float64) + (
+        np.asarray(b4, np.float64) - np.asarray(mean, np.float64)
+    ) * np.asarray(scale, np.float64) * inv
+    amax = np.maximum(np.abs(shift) + 8.0 * np.abs(np.asarray(scale)), 1e-6)
+    step = amax / 127.0  # per mid-channel
+    ko_abs = np.abs(np.asarray(ko, np.float64))  # (4,4,cmid,cout)
+    bound = (ko_abs * step[None, None, :, None] * 0.5).sum(axis=(0, 1, 2)).max()
+    err = np.abs(np.asarray(got, np.float64) - np.asarray(want, np.float64)).max()
+    assert err <= bound * 1.05 + 1e-6, (err, bound)
+    # no sample should have hit the clip rails (the envelope must cover the
+    # calibrated data)
+    assert err < 0.5
+
+
+def test_generator_packed_tail_int8_close_to_native(rng):
+    """Generator(packed_tail=True, packed_tail_int8=True) at inference: same
+    param tree as native, output within int8-planar tolerance of the exact
+    path (serving lowering; training never sees it)."""
+    lat = _rand(rng, 2, 64)
+    skips = (
+        _rand(rng, 2, 16, 16, 8),
+        _rand(rng, 2, 8, 8, 16),
+        _rand(rng, 2, 4, 4, 24),
+    )
+    g_int8 = Generator(
+        channels=(24, 16, 8, 8), base_hw=2, base_ch=32,
+        packed_tail=True, packed_tail_int8=True,
+    )
+    g_ref = Generator(channels=(24, 16, 8, 8), base_hw=2, base_ch=32)
+    v = g_ref.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    y_ref = g_ref.apply(v, lat, skips, train=False)
+    y_int8 = g_int8.apply(v, lat, skips, train=False)
+    assert y_int8.shape == y_ref.shape
+    # freshly-initialized BN stats (mean 0, var 1) are a mismatched envelope
+    # for raw activations, so the tolerance here is loose; the calibrated
+    # bound is asserted in test_packed_tail_int8_planar_within_quantization_bound
+    # and the trained-checkpoint u8 parity on-chip (PERF_NOTES round-4 ledger).
+    err = np.abs(np.asarray(y_int8) - np.asarray(y_ref)).max()
+    assert err < 0.1, err
+    # init through the int8 path must create the identical tree
+    v2 = g_int8.init(jax.random.PRNGKey(0), lat, skips, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+
 def test_generator_packed_tail_equivalence(rng):
     """Generator(packed_tail=True) at inference == native path, same param tree
     (checkpoint-interchangeable)."""
