@@ -44,10 +44,17 @@ def measure_images_per_sec(step_fn, params, x0, batch: int, iters: int = 30):
     the single-call+fetch time. (A lax.fori_loop formulation deadlocks this
     runtime's remote Pallas compile path.)
 
-    Returns (median_img_per_sec, [min, max] over REPEATS independent repeats) --
-    the spread is committed to BENCH_DETAILS.json so drift is distinguishable
-    from run-to-run noise (round-3 verdict: a +-1% noise band around a +1%
-    margin made single-number reporting ambiguous)."""
+    Returns (median, [min, max], samples_in_arrival_order) over REPEATS
+    independent repeats -- the spread is committed to BENCH_DETAILS.json so
+    drift is distinguishable from run-to-run noise (round-3 verdict: a +-1%
+    noise band around a +1% margin made single-number reporting ambiguous).
+
+    Outlier policy (round-4 verdict item 6: BENCH_r04's e2e min landed 2.5%
+    below the north star, undiagnosed): one full-length chained repeat is run
+    and DISCARDED before sampling -- the first long chain after compile is
+    where relay/queue warmup lands -- and the retained samples are recorded
+    in arrival order (<metric>_samples) so a recurring first-sample dip is
+    visible in the committed details rather than hidden inside [min, max]."""
 
     fn = jax.jit(step_fn)
 
@@ -61,12 +68,14 @@ def measure_images_per_sec(step_fn, params, x0, batch: int, iters: int = 30):
 
     timed(1)  # compile + warm
     t1 = min(timed(1) for _ in range(3))
+    timed(iters)  # discarded warmup chain (see outlier policy above)
     samples = []
     for _ in range(REPEATS):
         per_iter = max((timed(iters) - t1) / (iters - 1), 1e-9)
         samples.append(batch / per_iter)
+    ordered = list(samples)
     samples.sort()
-    return samples[len(samples) // 2], [samples[0], samples[-1]]
+    return samples[len(samples) // 2], [samples[0], samples[-1]], ordered
 
 
 def main():
@@ -134,12 +143,17 @@ def main():
     )
     imgs32 = jnp.asarray(images_np)
     print("bench: e2e...", file=sys.stderr, flush=True)
-    e2e_ips, e2e_spread = measure_images_per_sec(
+    e2e_ips, e2e_spread, e2e_samples = measure_images_per_sec(
         e2e_step, variables, imgs_u8, batch, iters
     )
     details["contextual_gan_codec_256_e2e_bf16"] = e2e_ips
     details["contextual_gan_codec_256_e2e_bf16_minmax"] = e2e_spread
+    details["contextual_gan_codec_256_e2e_bf16_samples"] = e2e_samples
     details["repeats_per_metric"] = REPEATS
+    details["outlier_policy"] = (
+        "one full-length chained repeat discarded before sampling; retained "
+        "samples recorded in arrival order"
+    )
     print(f"bench: e2e {e2e_ips:.0f} img/s "
           f"[{e2e_spread[0]:.0f}, {e2e_spread[1]:.0f}]",
           file=sys.stderr, flush=True)
@@ -153,7 +167,8 @@ def main():
 
     print("bench: codec-only...", file=sys.stderr, flush=True)
     (details["gan_codec_256_forward_bf16"],
-     details["gan_codec_256_forward_bf16_minmax"]) = measure_images_per_sec(
+     details["gan_codec_256_forward_bf16_minmax"],
+     details["gan_codec_256_forward_bf16_samples"]) = measure_images_per_sec(
         codec_step, variables, imgs32.astype(jnp.bfloat16), batch, iters
     )
     print("bench: codec-only %.0f img/s" % details["gan_codec_256_forward_bf16"],
@@ -166,7 +181,8 @@ def main():
 
     print("bench: saliency...", file=sys.stderr, flush=True)
     (details["saliency_mask_engine_256"],
-     details["saliency_mask_engine_256_minmax"]) = measure_images_per_sec(
+     details["saliency_mask_engine_256_minmax"],
+     details["saliency_mask_engine_256_samples"]) = measure_images_per_sec(
         sal_step, jnp.zeros(()), imgs32, batch, iters
     )
 
@@ -177,7 +193,8 @@ def main():
     ae_vars = cast_floats(ae.init(jax.random.PRNGKey(1), img128), jnp.bfloat16)
     print("bench: ae...", file=sys.stderr, flush=True)
     (details["ae_codec_128_forward_bf16"],
-     details["ae_codec_128_forward_bf16_minmax"]) = measure_images_per_sec(
+     details["ae_codec_128_forward_bf16_minmax"],
+     details["ae_codec_128_forward_bf16_samples"]) = measure_images_per_sec(
         lambda v, x: ae.apply(v, x), ae_vars, img128, batch, iters
     )
 
@@ -185,7 +202,8 @@ def main():
     print("bench: dct...", file=sys.stderr, flush=True)
     dct = DCTCodec(DCTCodecConfig(use_pallas=on_tpu))
     (details["dct_codec_256_roundtrip"],
-     details["dct_codec_256_roundtrip_minmax"]) = measure_images_per_sec(
+     details["dct_codec_256_roundtrip_minmax"],
+     details["dct_codec_256_roundtrip_samples"]) = measure_images_per_sec(
         lambda _, x: dct.roundtrip(x)[0], jnp.zeros(()), imgs32, batch, iters
     )
 

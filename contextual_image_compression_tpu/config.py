@@ -181,6 +181,27 @@ class ModelConfig:
     hq_lq_threshold_slope: float = 0.85
     quant_strength_base: float = 0.9
     quant_strength_slope: float = 0.8
+    # Rate-control mode for the quantizer leg of the schedule.
+    #
+    # 'reference' reproduces GAN_functions.py:631-649 exactly: quant_strength
+    # FALLS as target bpp rises (0.9 - 0.8*b), so the quantizer grid gets
+    # COARSER when more bits are requested. On the reference's analytic bpp
+    # axis this is invisible (analytic bpp is driven by hq_ratio, which does
+    # rise, GAN_test.py:314-325) -- but on the real-bitstream axis this
+    # framework added, the faithful schedule is anti-monotone: measured
+    # container bpp AND PSNR both fall as target bpp rises 0.1 -> 2.0
+    # (runs/r4_skipfree: 0.292 -> 0.270 bpp, 21.99 -> 21.41 dB).
+    #
+    # 'fixed' makes rate control real on the measured axis: quant_strength
+    # RISES with target bpp (clip(base + slope*b, 0, max)), so the grid scale
+    # exp(3*q*(1-s)) -- and with it the entropy-coded latent rate and decode
+    # fidelity -- increases monotonically with the requested rate. The
+    # hq/lq threshold and overall-compression legs stay faithful (they
+    # already move the right way). Trained/measured in runs/r5_rate_control.
+    rate_mode: str = "reference"  # 'reference' | 'fixed'
+    fixed_quant_base: float = 0.1
+    fixed_quant_slope: float = 6.0
+    fixed_quant_max: float = 4.0
     saliency_gamma: float = 0.7  # enhanced = mask**0.7 (reference: GAN_functions.py:651)
     threshold_sharpness: float = 20.0  # sigmoid slope (reference: GAN_functions.py:656)
     # 'sigmoid' is the training-path blend; 'hard' reproduces the rebuilt eval graph's
@@ -193,9 +214,22 @@ class ModelConfig:
     # same parameter tree, checkpoint-compatible): every bit of image
     # information is forced through the quantized latents, making the latent
     # bitstream a true storable/decodable format (decode needs no encoder).
-    # Train with 'zero' (or fine-tune from an 'encoder' checkpoint) before
-    # serving it; see serve.CompressionPipeline.decode_from_bitstream.
-    skip_mode: str = "encoder"  # 'encoder' | 'zero'
+    # 'mask' is 'zero' plus decode-side spatial conditioning: channel 0 of
+    # each skip tensor carries the saliency mask resized to that resolution
+    # and channel 1 the per-pixel HQ/LQ blend map (both already in the CICZ
+    # container, ops/bitstream.pack_container -- ZERO extra bits), the rest
+    # stay zero. Same shapes and parameter tree as 'encoder'/'zero', so
+    # checkpoints remain interchangeable, and decode still needs no encoder.
+    # Train with 'zero'/'mask' (or fine-tune from an 'encoder' checkpoint)
+    # before serving; see serve.CompressionPipeline.decode_from_bitstream.
+    skip_mode: str = "encoder"  # 'encoder' | 'zero' | 'mask'
+    # Bypass the quantizer entirely (zq = latent, fp32/bf16 grid): an
+    # EVAL-ONLY measurement flag that exposes the architecture's quality
+    # ceiling -- what the generators could deliver if quantization were free.
+    # Not a codec mode: nothing storable corresponds to it (the container
+    # serializes integer symbols). Used by scripts/eval_bitstream.py
+    # --quant-bypass for the runs/r5 ceiling measurement.
+    quant_bypass: bool = False
     quantizer: QuantizerConfig = QuantizerConfig()
     dtype: str = "float32"  # compute dtype; 'bfloat16' for fast inference
     param_dtype: str = "float32"

@@ -197,6 +197,38 @@ class AdaptiveCodec:
             for i in (1, 2, 3)
         )
 
+    def _mask_skips(
+        self, mask: jnp.ndarray, dyn_thr: jnp.ndarray, dtype
+    ) -> Tuple[jnp.ndarray, ...]:
+        """skip_mode='mask': skip tensors carrying the two decode-side spatial
+        signals -- channel 0 = saliency mask, channel 1 = per-pixel HQ/LQ
+        blend map -- resized to each skip resolution; remaining channels zero.
+
+        Both planes are already in the bitstream container (the mask thumbnail
+        is stored, the blend map is a deterministic function of mask +
+        target_bpp), so this conditions the generators on spatial layout at
+        ZERO rate cost, with shapes/params identical to the other skip modes.
+        Exists to close part of the skip-free codec's quality gap (the
+        reference's generators get full encoder skips, GAN_functions.py:
+        256-266; the storable codec severed them in skip_mode='zero')."""
+        h, w = self.cfg.img_size
+        ch = self.cfg.encoder_channels
+        batch = mask.shape[0]
+        planes = jnp.concatenate(
+            [mask.astype(jnp.float32), dyn_thr.astype(jnp.float32)], axis=-1
+        )
+        skips = []
+        for i in (1, 2, 3):
+            hh, ww = h >> i, w >> i
+            p = jax.image.resize(planes, (batch, hh, ww, 2), method="linear")
+            skips.append(
+                jnp.concatenate(
+                    [p.astype(dtype), jnp.zeros((batch, hh, ww, ch[i - 1] - 2), dtype)],
+                    axis=-1,
+                )
+            )
+        return tuple(skips)
+
     def decode_latents(
         self,
         variables: Dict[str, Any],
@@ -206,8 +238,9 @@ class AdaptiveCodec:
         target_bpp: jnp.ndarray,
     ) -> jnp.ndarray:
         """Decoder-only path: quantized latents + saliency mask + target bpp ->
-        blended image, with NO encoder in the loop (zero skips). This is the
-        decode side of the storable-codec format (skip_mode='zero'); with
+        blended image, with NO encoder in the loop (zero or mask-derived
+        skips, matching skip_mode). This is the decode side of the
+        storable-codec format (skip_mode='zero'/'mask'); with
         skip_mode='encoder' checkpoints it reconstructs from the latent
         information alone, i.e. what the bitstream actually stores.
 
@@ -221,9 +254,12 @@ class AdaptiveCodec:
         zq_lq = lq_latent_q.astype(ct)
         mask = mask.astype(ct)
         target_bpp = target_bpp.astype(ct)
-        skips = self._zero_skips(zq_hq.shape[0], ct)
         _, threshold, _ = self.rd_schedule(target_bpp)
         dyn_thr = self.dynamic_threshold(mask, threshold)
+        if self.cfg.skip_mode == "mask":
+            skips = self._mask_skips(mask, dyn_thr, ct)
+        else:
+            skips = self._zero_skips(zq_hq.shape[0], ct)
         hq_out = self.hq_generator.apply(
             variables["hq_generator"], zq_hq, skips, train=False
         )
@@ -234,12 +270,27 @@ class AdaptiveCodec:
 
     def rd_schedule(self, target_bpp: jnp.ndarray):
         """The deterministic rate-parameter schedule actually applied by the codec
-        (reference: GAN_functions.py:631-649). target_bpp: (B, 1)."""
+        (reference: GAN_functions.py:631-649). target_bpp: (B, 1).
+
+        The quantizer leg depends on ModelConfig.rate_mode: 'reference' is the
+        faithful falling schedule (anti-monotone on the real-bitstream axis --
+        see the rate_mode docstring in config.py); 'fixed' rises with target
+        bpp so measured rate and fidelity track the request. The threshold and
+        overall-compression legs are mode-independent (already monotone the
+        right way)."""
         cfg = self.cfg
         b = jnp.clip(target_bpp / cfg.bpp_norm_divisor, 0.0, 1.0)
         overall = 1.0 - cfg.overall_compression_slope * b
         threshold = cfg.hq_lq_threshold_base - cfg.hq_lq_threshold_slope * b
-        quant = cfg.quant_strength_base - cfg.quant_strength_slope * b
+        if cfg.rate_mode == "fixed":
+            quant = jnp.clip(
+                cfg.fixed_quant_base + cfg.fixed_quant_slope * b,
+                0.0, cfg.fixed_quant_max,
+            )
+        elif cfg.rate_mode == "reference":
+            quant = cfg.quant_strength_base - cfg.quant_strength_slope * b
+        else:
+            raise ValueError(f"unknown rate_mode {cfg.rate_mode!r}")
         return overall, threshold, quant
 
     def dynamic_threshold(self, mask: jnp.ndarray, threshold: jnp.ndarray):
@@ -299,10 +350,18 @@ class AdaptiveCodec:
         hq_latent, hq_skips = run("hq_encoder", self.hq_encoder, img)
         lq_latent, lq_skips = run("lq_encoder", self.lq_encoder, img)
 
+        overall, threshold, quant_strength = self.rd_schedule(target_bpp)
+        dyn_thr = self.dynamic_threshold(mask, threshold)
+
         if cfg.skip_mode == "zero":
             # Storable-codec mode: sever the encoder->generator bypass so the
             # quantized latents carry ALL image information (see ModelConfig).
             hq_skips = self._zero_skips(img.shape[0], ct)
+            lq_skips = hq_skips
+        elif cfg.skip_mode == "mask":
+            # Storable-codec mode with decode-side spatial conditioning: the
+            # skips carry only information the container already stores.
+            hq_skips = self._mask_skips(mask, dyn_thr, ct)
             lq_skips = hq_skips
 
         ls_hq_vars = variables["latent_saliency_hq"]
@@ -325,12 +384,15 @@ class AdaptiveCodec:
             variables["rd_optimizer"], img, mask, target_bpp
         )
 
-        overall, threshold, quant_strength = self.rd_schedule(target_bpp)
-        dyn_thr = self.dynamic_threshold(mask, threshold)
-
-        qcfg = cfg.resolved_quantizer()  # 'auto' -> topology-measured mode
-        zq_hq = adaptive_quantize(hq_latent, s_hq_quant, quant_strength, qcfg)
-        zq_lq = adaptive_quantize(lq_latent, s_lq_quant, quant_strength, qcfg)
+        if cfg.quant_bypass:
+            # Measurement flag (see ModelConfig.quant_bypass): expose the
+            # architecture ceiling by letting the generators see unquantized
+            # latents. Not storable; eval-only.
+            zq_hq, zq_lq = hq_latent, lq_latent
+        else:
+            qcfg = cfg.resolved_quantizer()  # 'auto' -> topology-measured mode
+            zq_hq = adaptive_quantize(hq_latent, s_hq_quant, quant_strength, qcfg)
+            zq_lq = adaptive_quantize(lq_latent, s_lq_quant, quant_strength, qcfg)
 
         hq_out = run("hq_generator", self.hq_generator, zq_hq, hq_skips)
         lq_out = run("lq_generator", self.lq_generator, zq_lq, lq_skips)

@@ -437,14 +437,20 @@ def packed_tail_forward(
         # b128 bf16) and BOTH tail convs are HBM-bound on it, so halving its
         # byte width buys real time (measured -0.745 ms/branch at b128 on v5e,
         # runs/r4_perf_experiments.log). Per-channel ranges come from the
-        # folded BN statistics -- post-fold channel c has mean shift[c] and
-        # std ~|bn_scale[c]| when the running stats describe the data -- with
-        # an int8_sigma-sigma symmetric margin; the rare clipped outlier feeds
-        # a tanh that saturates anyway. The quantize epilogue fuses into the
+        # folded BN statistics: when the running stats describe the data, the
+        # post-fold channel c has mean bn_bias[c] (the BN output mean by
+        # definition -- NOT shift[c], which adds the (deconv_bias - bn_mean)*
+        # scale term and can be far smaller when the kernel-part running mean
+        # opposes bn_bias) and std ~|bn_scale[c]|. The envelope centers on
+        # max(|bn_bias|, |shift|) -- bn_bias for trained stats, shift for the
+        # fresh-init case where the stats say nothing -- plus an
+        # int8_sigma-sigma symmetric margin; the rare clipped outlier feeds a
+        # tanh that saturates anyway. The quantize epilogue fuses into the
         # producer deconv; the dequant scales fold into the consumer kernel's
         # input rows; the int8->bf16 convert fuses into the conv operand load.
         amax = jnp.maximum(
-            jnp.abs(shift) + float(int8_sigma) * jnp.abs(bn_scale.astype(jnp.float32)),
+            jnp.maximum(jnp.abs(bn_bias.astype(jnp.float32)), jnp.abs(shift))
+            + float(int8_sigma) * jnp.abs(bn_scale.astype(jnp.float32)),
             1e-6,
         )
         q = jnp.clip(

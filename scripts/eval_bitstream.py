@@ -35,7 +35,16 @@ def main():
     p.add_argument("--synthetic", type=int, default=8)
     p.add_argument("--synthetic-rich", action="store_true")
     p.add_argument("--seed", type=int, default=7)
-    p.add_argument("--skip-mode", choices=["encoder", "zero"], default="zero")
+    p.add_argument("--skip-mode", choices=["encoder", "zero", "mask"],
+                   default="zero")
+    p.add_argument("--rate-mode", choices=["reference", "fixed"],
+                   default="reference",
+                   help="quantizer rate schedule (ModelConfig.rate_mode); must "
+                   "match what the checkpoint was trained/fine-tuned with")
+    p.add_argument("--quant-bypass", action="store_true",
+                   help="measure the architecture CEILING: run the forward "
+                   "path with unquantized latents (no bitstream columns -- "
+                   "nothing storable corresponds to fp32 latents)")
     p.add_argument("--bpps", type=float, nargs="+", default=[0.1, 1.0, 2.0])
     p.add_argument("--mask-downsample", type=int, default=8)
     p.add_argument("--out", default="",
@@ -58,10 +67,15 @@ def main():
     imgs = gen(args.synthetic, (256, 256), seed=args.seed)  # [-1, 1] float
     imgs_u8 = np.clip(np.round((imgs + 1.0) * 127.5), 0, 255).astype(np.uint8)
 
-    mcfg = dataclasses.replace(ModelConfig(), skip_mode=args.skip_mode)
+    mcfg = dataclasses.replace(
+        ModelConfig(), skip_mode=args.skip_mode, rate_mode=args.rate_mode,
+        quant_bypass=args.quant_bypass,
+    )
     pipe = CompressionPipeline(model_dir=args.model_dir, model_config=mcfg)
     print(f"Loaded components: {pipe.provenance}")
-    print(f"skip_mode={args.skip_mode}, {args.synthetic} held-out images (seed {args.seed})")
+    print(f"skip_mode={args.skip_mode}, rate_mode={args.rate_mode}, "
+          f"{args.synthetic} held-out images (seed {args.seed})"
+          + (" [QUANT BYPASSED: ceiling measurement]" if args.quant_bypass else ""))
 
     ref = jnp.asarray(imgs_u8.astype(np.float32) / 255.0)
     npix = imgs_u8.shape[1] * imgs_u8.shape[2]
@@ -71,6 +85,17 @@ def main():
         fwd_u8, _ = pipe(imgs_u8, target_bpp=bpp)
         fwd = jnp.asarray(fwd_u8.astype(np.float32) / 255.0)
         fwd_psnr = float(jnp.mean(psnr(ref, fwd)))
+
+        if args.quant_bypass:
+            fwd_ssim = float(jnp.mean(ssim_rgb_channel_mean(ref, fwd)))
+            rows.append({
+                "target_bpp": bpp,
+                "ceiling_psnr": fwd_psnr,
+                "ceiling_ssim": fwd_ssim,
+            })
+            print(f"bpp {bpp}: CEILING (unquantized latents) "
+                  f"PSNR {fwd_psnr:.2f} dB, SSIM {fwd_ssim:.4f}")
+            continue
 
         # The storable path: bytes -> image only.
         streams = pipe.encode_to_bitstream(
@@ -102,6 +127,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump({
                 "model_dir": args.model_dir, "skip_mode": args.skip_mode,
+                "rate_mode": args.rate_mode,
+                "quant_bypass": args.quant_bypass,
                 "images": args.synthetic, "seed": args.seed,
                 "mask_downsample": args.mask_downsample, "rows": rows,
             }, f, indent=2)

@@ -14,8 +14,13 @@ questions for the serving configuration (serve.py::_serving_model_config):
   2. What does the full e2e u8->u8 pipeline gain? (bench.py methodology:
      chained data-dependent jitted calls, scalar fetch, (T(n)-T(1))/(n-1).)
 
-Appends nothing; prints a ledger block for docs/PERF_NOTES.md and a JSON line
-committed to runs/r4_perf_experiments.log by hand.
+Usage: python scripts/r4_int8_tail_parity.py [model_dir] [out_json]
+
+Self-recording (advisor round-4 finding: the round-4 run's evidence was
+never committed because recording was a manual step): the full results JSON
+is written to out_json (default runs/r5_int8_tail_parity.json) and a one-line
+summary is appended to runs/r4_perf_experiments.log -- running the gate and
+recording its evidence cannot be separated.
 """
 
 import dataclasses
@@ -78,6 +83,9 @@ def psnr_u8(a, b):
 
 def main():
     model_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/r2_faithful/models_ckpt"
+    out_json = Path(
+        sys.argv[2] if len(sys.argv) > 2 else "runs/r5_int8_tail_parity.json"
+    )
     on_tpu = jax.default_backend() == "tpu"
     batch = 128 if on_tpu else 2
     scfg = SaliencyConfig()
@@ -135,6 +143,13 @@ def main():
                   flush=True)
 
     print(json.dumps(results))
+    out_json.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=2)
+    log = out_json.parent / "r4_perf_experiments.log"
+    with open(log, "a") as f:
+        f.write("int8_tail_parity " + json.dumps(results) + "\n")
+    print(f"wrote {out_json} and appended to {log}")
 
 
 if __name__ == "__main__":

@@ -36,11 +36,20 @@ def main():
                    help="'auto' follows the measured per-topology map "
                    "(encoder skips -> 'reference', zero skips -> 'ste'; "
                    "see QuantizerConfig.grad_mode)")
-    p.add_argument("--skip-mode", choices=["encoder", "zero"], default="encoder",
+    p.add_argument("--skip-mode", choices=["encoder", "zero", "mask"],
+                   default="encoder",
                    help="'zero' trains the storable codec (generators see no "
                    "encoder skips; the latent bitstream alone reconstructs -- "
-                   "see ModelConfig.skip_mode). Checkpoint-compatible with "
-                   "'encoder' runs, so fine-tuning from one is supported")
+                   "see ModelConfig.skip_mode); 'mask' is 'zero' plus "
+                   "decode-side mask/blend-map skip conditioning (zero extra "
+                   "bits). Checkpoint-compatible with 'encoder' runs, so "
+                   "fine-tuning from one is supported")
+    p.add_argument("--rate-mode", choices=["reference", "fixed"],
+                   default="reference",
+                   help="quantizer rate schedule: 'reference' is the faithful "
+                   "falling schedule (anti-monotone on the real-bitstream "
+                   "axis); 'fixed' rises with target bpp so measured container "
+                   "bpp/PSNR track the request (see ModelConfig.rate_mode)")
     p.add_argument("--precision", choices=["float32", "mixed"], default="float32",
                    help="'mixed' = bfloat16 activations with float32 params, "
                    "optimizer states, BN statistics, and losses")
@@ -96,7 +105,7 @@ def main():
         mcfg = dataclasses.replace(mcfg, base_latent_dim=args.base_latent_dim)
     mcfg = dataclasses.replace(
         mcfg, quantizer=QuantizerConfig(grad_mode=args.quant_grad_mode),
-        skip_mode=args.skip_mode,
+        skip_mode=args.skip_mode, rate_mode=args.rate_mode,
     )
     if args.precision == "mixed":
         mcfg = dataclasses.replace(mcfg, dtype="bfloat16", param_dtype="float32")

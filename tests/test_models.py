@@ -121,6 +121,103 @@ def test_rd_schedule_reference_formulas():
     np.testing.assert_allclose(np.asarray(qs), 0.9 - 0.8 * b, atol=1e-6)
 
 
+def test_rd_schedule_fixed_mode_monotone():
+    """rate_mode='fixed': quant_strength -- hence the quantizer grid scale
+    exp(3*q*(1-s)) and the entropy-coded latent rate -- RISES with target bpp,
+    while the threshold/overall legs stay faithful (see ModelConfig.rate_mode;
+    the reference schedule GAN_functions.py:631-649 is anti-monotone on the
+    real-bitstream axis, runs/r4_skipfree)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, rate_mode="fixed")
+    codec = AdaptiveCodec(cfg)
+    bpp = jnp.array([[0.1], [0.5], [1.0], [2.0], [5.0]])
+    overall, thr, qs = codec.rd_schedule(bpp)
+    q = np.asarray(qs)[:, 0]
+    assert np.all(np.diff(q) > 0), q  # strictly rising over the sweep range
+    assert np.all(q <= cfg.fixed_quant_max + 1e-6)
+    b = np.clip(np.array([0.1, 0.5, 1.0, 2.0, 5.0]) / 5.0, 0, 1)[:, None]
+    # threshold / overall legs identical to the reference schedule
+    np.testing.assert_allclose(np.asarray(overall), 1 - 0.8 * b, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(thr), 0.9 - 0.85 * b, atol=1e-6)
+    # the resulting grid is strictly finer at higher target bpp, so the
+    # quantized latent carries strictly more resolution
+    z = jnp.asarray(np.random.RandomState(1).randn(5, 32).astype(np.float32))
+    s = jnp.full((5, 1), 0.4)
+    from contextual_image_compression_tpu.ops.quantize import (
+        adaptive_quantize_reference_jnp,
+    )
+    err = np.asarray(
+        jnp.mean(jnp.abs(adaptive_quantize_reference_jnp(z, s, qs) - z), axis=1)
+    )
+    assert np.all(np.diff(err) < 0), err  # quantization error falls with bpp
+
+
+def test_mask_skip_mode_shapes_and_content():
+    """skip_mode='mask': same skip shapes/param tree as 'zero', channel 0/1
+    carry the resized mask and blend map, the rest are zero; decode_latents
+    uses the same construction so bitstream decode matches the forward pass."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, skip_mode="mask")
+    codec = AdaptiveCodec(cfg)
+    vars_ = codec.init(jax.random.PRNGKey(0), batch_size=2)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 0.3)
+    mask = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32))
+    bpp = jnp.ones((2, 1))
+    out, _ = codec.apply(vars_, img, mask, bpp, train=False)
+    assert out.blended.shape == (2, 64, 64, 3)
+
+    skips = codec._mask_skips(mask, out.dynamic_threshold, jnp.float32)
+    ch = cfg.encoder_channels
+    for i, s in enumerate(skips, start=1):
+        assert s.shape == (2, 64 >> i, 64 >> i, ch[i - 1])
+        assert float(jnp.abs(s[..., 2:]).max()) == 0.0  # only 2 signal planes
+        assert float(jnp.abs(s[..., 0]).max()) > 0.0    # mask plane populated
+
+    # decode-only path reconstructs the forward output exactly (same latents,
+    # same full-res mask -> same skips)
+    dec = codec.decode_latents(
+        vars_, out.hq_latent_q, out.lq_latent_q, mask, bpp
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec), np.asarray(out.blended), atol=1e-5
+    )
+
+    # checkpoint-compatibility: the variables tree is identical to 'zero'
+    zero_vars = AdaptiveCodec(
+        dataclasses.replace(SMALL, skip_mode="zero")
+    ).init(jax.random.PRNGKey(0), batch_size=2)
+    assert jax.tree_util.tree_structure(vars_) == jax.tree_util.tree_structure(
+        zero_vars
+    )
+
+
+def test_quant_bypass_ceiling_flag():
+    """quant_bypass=True feeds unquantized latents to the generators; with a
+    fine grid the bypassed and quantized outputs converge, and bypass always
+    reconstructs at least as faithfully from the latents' viewpoint."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, skip_mode="zero")
+    codec_q = AdaptiveCodec(cfg)
+    codec_b = AdaptiveCodec(dataclasses.replace(cfg, quant_bypass=True))
+    vars_ = codec_q.init(jax.random.PRNGKey(0), batch_size=1)
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 0.3)
+    mask = jnp.full((1, 64, 64, 1), 0.5)
+    bpp = jnp.ones((1, 1))
+    out_q, _ = codec_q.apply(vars_, img, mask, bpp, train=False)
+    out_b, _ = codec_b.apply(vars_, img, mask, bpp, train=False)
+    # bypass returns the raw latents as 'quantized'
+    np.testing.assert_allclose(
+        np.asarray(out_b.hq_latent_q), np.asarray(out_b.hq_latent), atol=0
+    )
+    # quantized path differs (the grid is real at this scale)
+    assert float(jnp.abs(out_q.blended - out_b.blended).max()) > 0
+
+
 def test_dynamic_threshold_monotone_in_bpp():
     """Higher target bpp -> lower threshold -> more HQ area
     (the reference's rate-control contract, hq_ratio_by_bpp.png)."""
