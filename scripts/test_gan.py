@@ -26,7 +26,11 @@ def main():
     p.add_argument("--img-size", type=int, default=None)
     p.add_argument("--base-latent-dim", type=int, default=None)
     p.add_argument("--threshold-mode", choices=["sigmoid", "hard"], default="sigmoid")
-    p.add_argument("--skip-mode", choices=["encoder", "zero"], default="encoder",
+    p.add_argument("--rate-mode", choices=["reference", "fixed"],
+                   default="reference",
+                   help="quantizer rate schedule (ModelConfig.rate_mode)")
+    p.add_argument("--skip-mode", choices=["encoder", "zero", "mask"],
+                   default="encoder",
                    help="evaluate the storable (zero-skip) codec variant")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
@@ -37,7 +41,8 @@ def main():
     from contextual_image_compression_tpu.eval import plots
     from contextual_image_compression_tpu.eval.harness import CodecEvaluator
 
-    mcfg = ModelConfig(threshold_mode=args.threshold_mode, skip_mode=args.skip_mode)
+    mcfg = ModelConfig(threshold_mode=args.threshold_mode, skip_mode=args.skip_mode,
+                       rate_mode=args.rate_mode)
     if args.img_size:
         mcfg = dataclasses.replace(
             mcfg, img_size=(args.img_size, args.img_size),
