@@ -264,7 +264,10 @@ class GANTrainer:
 
             if artifacts:
                 self._epoch_artifacts(epoch_label, sample_batch, samples_dir)
-            if (epoch + 1) % cfg.checkpoint_every == 0 or epoch + 1 == epochs:
+            # The fit's last epoch is covered by the unconditional 'final' save
+            # below -- an epoch-tagged save there would serialize the identical
+            # state twice (minutes per save on remote-TPU runtimes).
+            if (epoch + 1) % cfg.checkpoint_every == 0 and epoch + 1 != epochs:
                 self.save(f"epoch_{epoch_label}")
 
         self.save("final")

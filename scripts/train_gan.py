@@ -80,6 +80,12 @@ def main():
     p.add_argument("--fine-tune-bpps", default="",
                    help="comma-separated target bpps for fine-tuning "
                    "(default: the config bpp_range)")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="epochs between intermediate checkpoints (default 5, "
+                   "the reference cadence, GAN_train.py:548; raise it on "
+                   "remote-TPU runtimes where each save costs minutes of "
+                   "device->host transfer -- the end-of-fit 'final' save "
+                   "always happens)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -118,7 +124,8 @@ def main():
     for field, val in [("epochs", args.epochs), ("batch_size", args.batch_size),
                        ("learning_rate", args.learning_rate),
                        ("results_dir", args.results_dir),
-                       ("model_dir", args.model_dir)]:
+                       ("model_dir", args.model_dir),
+                       ("checkpoint_every", args.checkpoint_every)]:
         if val is not None:
             overrides[field] = val
     if overrides:
