@@ -300,6 +300,18 @@ class LossConfig:
     # matrices in the latent-saliency and bitrate terms (GAN_train.py:307-308,333-335).
     # False = per-sample (correct) semantics; True = bug-compatible mode.
     reference_broadcast_quirk: bool = False
+    # Per-branch reconstruction loss: weight * (MSE(img, hq_out) + MSE(img,
+    # lq_out)) added to the generator loss. The reference trains ONLY the
+    # blended output (GAN_train.py:247), and with the training-time blend map
+    # nearly all-LQ (dynamic_threshold mean ~0.008 on mask means ~0.14,
+    # GAN_functions.py:655-657) the HQ generator receives essentially no
+    # reconstruction signal -- measured on the round-5 trained checkpoint:
+    # HQ branch alone decodes at 14.65 dB vs LQ 22.50 dB, so every blend
+    # shift toward HQ at eval LOWERS quality and PSNR falls as target bpp
+    # rises regardless of the rate schedule (runs/r5_rate_control). With this
+    # term both branches train on the full image and the blend leg moves
+    # quality the right way. 0.0 = reference-faithful (term compiled out).
+    branch_recon_weight: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

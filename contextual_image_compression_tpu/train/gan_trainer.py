@@ -232,6 +232,14 @@ class GANStepBuilder:
             g_loss = L.combine_generator_loss(
                 recon, l1, perceptual, adv, bitrate_control, lcfg
             )
+            if lcfg.branch_recon_weight > 0.0:
+                # Train BOTH generator branches on the full image (see
+                # LossConfig.branch_recon_weight); added after the reference's
+                # floor-offset hack so weight 0.0 is bit-identical faithful.
+                branch_recon = L.mse(batch.image, out.hq_output) + L.mse(
+                    batch.image, out.lq_output
+                )
+                g_loss = g_loss + lcfg.branch_recon_weight * branch_recon
             ls_loss = lcfg.ls_loss_weight * ls_loss_raw
             rd_opt_loss = (
                 lcfg.rd_loss_weight * rd_loss_raw

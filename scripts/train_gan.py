@@ -65,6 +65,13 @@ def main():
                    "transiently doubles the ~5 GB train state in HBM); 'host': "
                    "blocking device->host serialization with no HBM copy (use "
                    "when HBM is tight, e.g. perceptual-loss runs)")
+    p.add_argument("--branch-recon-weight", type=float, default=0.0,
+                   help="weight for the per-branch reconstruction loss "
+                   "(MSE on hq_output and lq_output each, in addition to the "
+                   "reference's blended-only recon). 0.0 = faithful. The "
+                   "reference's blend map is ~all-LQ during training, so its "
+                   "HQ generator never learns (measured 14.65 dB vs LQ's "
+                   "22.50 dB); see LossConfig.branch_recon_weight")
     p.add_argument("--broadcast-quirk", action="store_true",
                    help="reproduce the reference's (B,B) TF broadcast in the "
                    "latent-saliency and bitrate losses (GAN_train.py:307-335)")
@@ -119,7 +126,10 @@ def main():
     cfg = TrainConfig(model=mcfg, seed=args.seed,
                       vgg_weights_path=args.vgg_weights,
                       use_perceptual=not args.no_perceptual,
-                      loss=LossConfig(reference_broadcast_quirk=args.broadcast_quirk))
+                      loss=LossConfig(
+                          reference_broadcast_quirk=args.broadcast_quirk,
+                          branch_recon_weight=args.branch_recon_weight,
+                      ))
     overrides = {}
     for field, val in [("epochs", args.epochs), ("batch_size", args.batch_size),
                        ("learning_rate", args.learning_rate),

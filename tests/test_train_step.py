@@ -221,3 +221,40 @@ def test_reference_faithful_mode_trains(batch):
     before = jax.tree.leaves(state.codec_vars["hq_generator"]["params"])
     after = jax.tree.leaves(s2.codec_vars["hq_generator"]["params"])
     assert any(bool(jnp.any(a != b)) for a, b in zip(before, after))
+
+
+def test_branch_recon_loss_value_and_gradient(builder, state, batch):
+    """LossConfig.branch_recon_weight=w adds exactly w*(MSE(img,hq_out) +
+    MSE(img,lq_out)) to g_loss (measured on the round-5 checkpoint: the
+    reference's blended-only recon leaves the HQ branch at 14.65 dB vs LQ's
+    22.50 dB because the training blend map is ~all-LQ), and w=0 stays
+    bit-identical faithful."""
+    cfg_on = dataclasses.replace(
+        CFG, loss=dataclasses.replace(CFG.loss, branch_recon_weight=0.2)
+    )
+    builder_on = GANStepBuilder(cfg_on, bn_mode="frozen")
+    # identical state: same init key
+    state0 = builder.init_state(jax.random.PRNGKey(3), batch_size=4)
+    state1 = builder_on.init_state(jax.random.PRNGKey(3), batch_size=4)
+
+    _, step_off = builder.jitted_steps(donate=False)
+    _, step_on = builder_on.jitted_steps(donate=False)
+    s_off, m_off = step_off(state0, batch)
+    s_on, m_on = step_on(state1, batch)
+
+    # the added term equals w * (mse_hq + mse_lq) of the pre-update forward
+    codec = AdaptiveCodec(TINY)
+    out, _ = codec.apply(state0.codec_vars, batch.image, batch.mask, batch.bpp,
+                         train=False)
+    expected = 0.2 * (
+        float(L.mse(batch.image, out.hq_output))
+        + float(L.mse(batch.image, out.lq_output))
+    )
+    got = float(m_on["g_loss"]) - float(m_off["g_loss"])
+    np.testing.assert_allclose(got, expected, rtol=2e-2)
+
+    # and it moves the generators differently (extra gradient through both)
+    for n in ("hq_generator", "lq_generator"):
+        a = jax.tree.leaves(s_off.codec_vars[n]["params"])
+        b = jax.tree.leaves(s_on.codec_vars[n]["params"])
+        assert any(bool(jnp.any(x != y)) for x, y in zip(a, b)), n
