@@ -46,6 +46,9 @@ def main():
                    "path with unquantized latents (no bitstream columns -- "
                    "nothing storable corresponds to fp32 latents)")
     p.add_argument("--bpps", type=float, nargs="+", default=[0.1, 1.0, 2.0])
+    p.add_argument("--base-latent-dim", type=int, default=None,
+                   help="LQ latent width (HQ = 2x); must match the checkpoint "
+                   "(round-5 latent-capacity sweep, runs/r5_latent_sweep)")
     p.add_argument("--mask-downsample", type=int, default=8)
     p.add_argument("--out", default="",
                    help="optional JSON path for the per-bpp results table")
@@ -71,6 +74,8 @@ def main():
         ModelConfig(), skip_mode=args.skip_mode, rate_mode=args.rate_mode,
         quant_bypass=args.quant_bypass,
     )
+    if args.base_latent_dim:
+        mcfg = dataclasses.replace(mcfg, base_latent_dim=args.base_latent_dim)
     pipe = CompressionPipeline(model_dir=args.model_dir, model_config=mcfg)
     print(f"Loaded components: {pipe.provenance}")
     print(f"skip_mode={args.skip_mode}, rate_mode={args.rate_mode}, "
@@ -129,6 +134,7 @@ def main():
                 "model_dir": args.model_dir, "skip_mode": args.skip_mode,
                 "rate_mode": args.rate_mode,
                 "quant_bypass": args.quant_bypass,
+                "base_latent_dim": mcfg.base_latent_dim,
                 "images": args.synthetic, "seed": args.seed,
                 "mask_downsample": args.mask_downsample, "rows": rows,
             }, f, indent=2)

@@ -7,7 +7,12 @@ Inputs are the two scripts/eval_bitstream.py --out JSONs produced by
 scripts/r5_tpu_queue.sh; output is runs/r5_rate_control/rate_control.png plus
 a monotonicity summary line per series (Spearman-style sign counts).
 
-Usage: python scripts/r5_rate_plot.py [fixed.json reference.json out.png]
+A third series (the from-scratch `rate_mode='fixed'` + branch_recon_weight
+twin, `runs/r5_zero_fixed`) is added automatically when its sweep JSON exists
+— that twin is the one whose QUALITY axis is expected to respond to rate,
+because both generator branches are trained (BASELINE.md round-5 annex).
+
+Usage: python scripts/r5_rate_plot.py [fixed.json reference.json out.png [branch.json]]
 """
 
 import json
@@ -37,8 +42,14 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    branch_p = Path(sys.argv[4]) if len(sys.argv) > 4 else (
+        REPO / "runs/r5_rate_control/fixed_branchtrained_sweep.json")
+
     series = {}
-    for name, p in (("fixed", fixed_p), ("reference", ref_p)):
+    inputs = [("fixed", fixed_p), ("reference", ref_p)]
+    if branch_p.exists():
+        inputs.append(("fixed+branch_recon", branch_p))
+    for name, p in inputs:
         d = json.loads(p.read_text())
         rows = d["rows"]
         series[name] = {
@@ -49,7 +60,8 @@ def main():
         }
 
     fig, axes = plt.subplots(1, 3, figsize=(15, 4.5))
-    colors = {"fixed": "tab:green", "reference": "tab:red"}
+    colors = {"fixed": "tab:green", "reference": "tab:red",
+              "fixed+branch_recon": "tab:blue"}
     for name, s in series.items():
         up_b, dn_b = monotone_stats(s["target"], s["bpp"])
         up_p, dn_p = monotone_stats(s["target"], s["psnr"])
