@@ -48,8 +48,10 @@ def _serving_model_config(cfg: ModelConfig) -> ModelConfig:
     tail's phase-planar intermediate, and weight-only int8 for the four giant
     latent/fc projections (the measured-fastest serving configuration on v5e
     b128; decoded uint8 parity vs the exact bf16 path quantified per lowering
-    in PERF_NOTES.md round-3/round-4 ledgers -- dense_w8 is u8-bit-identical,
-    packed_tail_int8 is bounded by the planar quantization step)."""
+    in the PERF_NOTES.md ledgers -- dense_w8 is u8-bit-identical, and
+    packed_tail_int8 was gated on a trained checkpoint on chip in round 5:
+    -0.03 dB vs source, int8-vs-bf16 decode PSNR 40.3 dB, +5.5% e2e
+    (runs/r5_int8_tail_parity.json, PERF_NOTES.md round-5 ledger))."""
     return dataclasses.replace(
         cfg, dtype="bfloat16", generator_packed_tail=True, dense_w8=True,
         packed_tail_int8=True,
